@@ -1,0 +1,155 @@
+"""Configuration dataclasses.
+
+One dataclass per pipeline, with field names and defaults taken from the
+reference scripts' CONSTANTS blocks so existing workflows map 1:1
+(reference: record_landmarks_official.py:5-25, train_model_official.py:20-47,
+inactive/train_model.py:10-29, inactive/live_lower_half.py:143-151).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+
+@dataclasses.dataclass
+class RecorderConfig:
+    """Official recorder settings (record_landmarks_official.py:5-25)."""
+
+    out_dir: str = "clips_npz"
+    speaker: str = "me"
+    cam_index: int = 1
+    roi_w: int = 96
+    roi_h: int = 48
+    save_roi: bool = True
+    draw_points: bool = True
+    mouth_w_min_px: float = 60.0
+    mouth_w_max_px: float = 150.0
+    min_frames: int = 5
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Official trainer settings (train_model_official.py:20-47)."""
+
+    clip_dir: str = "clips_npz"
+    out_path: str = "word_model_points_roi.ckpt"
+    seed: int = 42
+    val_frac: float = 0.15
+    batch_size: int = 16
+    epochs: int = 80
+    lr: float = 3e-4
+    patience: int = 12
+    max_t: int = 90
+    use_roi_if_present: bool = True
+    roi_w: int = 96
+    roi_h: int = 48
+    # augmentation (train_model_official.py:41-43,144-152)
+    noise_std: float = 0.01
+    noise_prob: float = 0.7
+    drop_frames_prob: float = 0.35
+    drop_frames_max: int = 2
+    # loss / optimization (train_model_official.py:405,438)
+    label_smoothing: float = 0.05
+    grad_clip_norm: float = 1.0
+    # model (train_model_official.py:402)
+    hidden: int = 192
+    gru_layers: int = 2
+    roi_emb: int = 32
+    gru_dropout: float = 0.1
+    head_dropout: float = 0.2
+    # TPU-specific knobs (no reference counterpart)
+    compute_dtype: str = "float32"  # "bfloat16" for throughput
+    mesh_shape: Optional[dict] = None  # e.g. {"data": 4, "model": 2}
+
+
+@dataclasses.dataclass
+class InferConfig:
+    """Live/offline inference settings (live_infer_official.py:17-43)."""
+
+    ckpt_path: str = "word_model_points_roi.ckpt"
+    cam_index: int = 1
+    roi_w: int = 96
+    roi_h: int = 48
+    mouth_w_min_px: float = 60.0
+    mouth_w_max_px: float = 150.0
+    draw_points: bool = True
+    min_frames: int = 5
+    topk: int = 3
+
+
+@dataclasses.dataclass
+class CTCTrainConfig:
+    """CTC trainer settings (inactive/train_model.py:10-29)."""
+
+    clip_dir: str = "clips_npz"
+    out_path: str = "ctc_word_model_roi.ckpt"
+    seed: int = 42
+    val_frac: float = 0.15
+    batch_size: int = 32
+    epochs: int = 120
+    lr: float = 1e-3
+    patience: int = 6
+    max_t: int = 80
+    roi_w: int = 96
+    roi_h: int = 48
+    roi_emb: int = 32
+    hidden: int = 192
+    gru_layers: int = 3
+    len_lambda: float = 0.02  # length-prior penalty (inactive/train_model.py:29)
+    len_per_char: int = 5  # expected frames per character (inactive/train_model.py:247)
+    # silence trimming (inactive/train_model.py:48-57)
+    trim_open_idx: int = -3
+    trim_thresh: float = 0.05
+    trim_pad: int = 2
+
+
+@dataclasses.dataclass
+class StreamConfig:
+    """Streaming / auto-clip settings.
+
+    Sliding-window knobs from inactive/live_feed.py:161-163; openness-gating
+    knobs from inactive/live_lower_half.py:143-151.
+    """
+
+    max_t: int = 90
+    pred_every: int = 2
+    warmup_min: int = 10
+    # openness-gated auto-clip segmentation
+    open_thresh: float = 0.15
+    start_n: int = 2
+    end_n: int = 4
+    max_clip: int = 80
+    hold_frames: int = 20
+    conf_thresh: float = 0.45
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    """Offline dataset evaluation (inactive/dataset_eval.py)."""
+
+    clip_dir: str = "clips_npz"
+    ckpt_path: str = "word_model_points_roi.ckpt"
+    batch_size: int = 64
+    top_confusions: int = 10
+
+
+def apply_overrides(cfg, overrides: Sequence[str]):
+    """Apply ``key=value`` CLI overrides to a config dataclass in place."""
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"override must be key=value, got {item!r}")
+        key, raw = item.split("=", 1)
+        if not hasattr(cfg, key):
+            raise AttributeError(f"{type(cfg).__name__} has no field {key!r}")
+        cur = getattr(cfg, key)
+        if isinstance(cur, bool):
+            val = raw.lower() in ("1", "true", "yes", "on")
+        elif isinstance(cur, int):
+            val = int(raw)
+        elif isinstance(cur, float):
+            val = float(raw)
+        else:
+            val = raw
+        setattr(cfg, key, val)
+    return cfg

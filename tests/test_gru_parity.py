@@ -1,0 +1,92 @@
+"""Golden parity: masked-scan GRU vs PyTorch packed nn.GRU.
+
+This is the main parity risk of the rebuild (SURVEY.md section 7.3 item 1):
+``pack_padded_sequence(..., enforce_sorted=False)`` excludes padded frames
+from the recurrence; our masked scan must freeze the carry at lengths[i] and
+zero padded outputs to match bit-for-bit (to fp32 tolerance).
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import jax.numpy as jnp
+
+from silent_speech_tpu.core.torch_import import import_gru_stack
+from silent_speech_tpu.ops.gru import bigru, flip_padded, gru_layer_single_direction
+
+
+def _torch_packed_gru(tgru, x, lengths):
+    packed = nn.utils.rnn.pack_padded_sequence(
+        torch.from_numpy(x), torch.from_numpy(lengths.astype(np.int64)),
+        batch_first=True, enforce_sorted=False,
+    )
+    out_packed, h_n = tgru(packed)
+    out, _ = nn.utils.rnn.pad_packed_sequence(
+        out_packed, batch_first=True, total_length=x.shape[1]
+    )
+    return out.detach().numpy(), h_n.detach().numpy()
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+@pytest.mark.parametrize("num_layers", [1, 2, 3])
+def test_gru_matches_torch_packed(bidirectional, num_layers, rng):
+    B, T, D, H = 5, 17, 12, 24
+    torch.manual_seed(0)
+    tgru = nn.GRU(D, H, num_layers=num_layers, batch_first=True,
+                  bidirectional=bidirectional, dropout=0.0)
+    tgru.eval()
+
+    x = rng.standard_normal((B, T, D)).astype(np.float32)
+    lengths = np.array([17, 3, 9, 1, 13], dtype=np.int32)
+
+    t_out, _ = _torch_packed_gru(tgru, x, lengths)
+
+    sd = {f"gru.{k}": v for k, v in tgru.state_dict().items()}
+    layers = import_gru_stack(sd, "gru", num_layers, bidirectional)
+
+    j_out, _ = bigru(
+        jnp.asarray(x), jnp.asarray(lengths), layers,
+        bidirectional=bidirectional, train=False,
+    )
+    np.testing.assert_allclose(np.asarray(j_out), t_out, atol=2e-5, rtol=1e-4)
+
+
+def test_single_direction_final_state(rng):
+    """h_last must be the hidden state at each sequence's true last frame."""
+    B, T, D, H = 4, 11, 6, 8
+    torch.manual_seed(1)
+    tgru = nn.GRU(D, H, num_layers=1, batch_first=True)
+    tgru.eval()
+    x = rng.standard_normal((B, T, D)).astype(np.float32)
+    lengths = np.array([11, 4, 7, 2], dtype=np.int32)
+    _, h_n = _torch_packed_gru(tgru, x, lengths)  # (1, B, H)
+
+    sd = {f"gru.{k}": v for k, v in tgru.state_dict().items()}
+    params = import_gru_stack(sd, "gru", 1, bidirectional=False)[0]["fwd"]
+    _, h_last = gru_layer_single_direction(jnp.asarray(x), jnp.asarray(lengths), params)
+    np.testing.assert_allclose(np.asarray(h_last), h_n[0], atol=2e-5, rtol=1e-4)
+
+
+def test_flip_padded_roundtrip(rng):
+    x = rng.standard_normal((3, 10, 4)).astype(np.float32)
+    lengths = np.array([10, 5, 1], dtype=np.int32)
+    y = flip_padded(jnp.asarray(x), jnp.asarray(lengths))
+    z = flip_padded(y, jnp.asarray(lengths))
+    np.testing.assert_allclose(np.asarray(z), x)
+    # row 1: first 5 reversed, tail untouched
+    np.testing.assert_allclose(np.asarray(y)[1, :5], x[1, :5][::-1])
+    np.testing.assert_allclose(np.asarray(y)[1, 5:], x[1, 5:])
+
+
+def test_padded_outputs_are_zero(rng):
+    B, T, D, H = 2, 8, 5, 7
+    torch.manual_seed(2)
+    tgru = nn.GRU(D, H, num_layers=1, batch_first=True, bidirectional=True)
+    sd = {f"gru.{k}": v for k, v in tgru.state_dict().items()}
+    layers = import_gru_stack(sd, "gru", 1, bidirectional=True)
+    x = rng.standard_normal((B, T, D)).astype(np.float32)
+    lengths = np.array([8, 3], dtype=np.int32)
+    out, _ = bigru(jnp.asarray(x), jnp.asarray(lengths), layers)
+    np.testing.assert_allclose(np.asarray(out)[1, 3:], 0.0)
