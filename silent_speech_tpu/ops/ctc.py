@@ -78,7 +78,10 @@ def ctc_loss(
     blank: int = 0,
     zero_infinity: bool = True,
 ) -> jnp.ndarray:
-    """Batched CTC negative log-likelihood (mean over batch, as nn.CTCLoss).
+    """Batched CTC negative log-likelihood.
+
+    Matches ``nn.CTCLoss(reduction='mean')``: each sample's NLL is divided by
+    its target length, then averaged over the batch.
 
     log_probs: (B, T, C) log-softmax; labels: (B, L_max) padded label ids.
     """
@@ -106,7 +109,7 @@ def ctc_loss(
     nll = -total
     if zero_infinity:
         nll = jnp.where(jnp.isfinite(nll) & (nll < -NEG_INF), nll, 0.0)
-    return jnp.mean(nll)
+    return jnp.mean(nll / jnp.maximum(label_lengths.astype(nll.dtype), 1.0))
 
 
 @jax.jit
