@@ -1,0 +1,114 @@
+"""Device-resident dataset.
+
+The reference re-opens every `.npz` on every __getitem__ with a single-worker
+DataLoader (train_model_official.py:391-400) — pure host-side overhead. The
+TPU-native design loads the corpus once into padded host arrays, ships them to
+device a single time, and serves batches as on-device gathers; augmentation
+happens inside the jitted train step. For corpora too large for HBM, the
+gather falls back to host memory with async device_put.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.schema import Clip, batch_clips, fix_dim, pad_trim_time
+from .corpus import load_clips
+
+
+@dataclasses.dataclass
+class DeviceDataset:
+    """Padded, stacked corpus arrays. ``device=True`` keeps them in HBM."""
+
+    X: jax.Array  # (N, max_t, D) float32
+    lengths: jax.Array  # (N,) int32
+    y: jax.Array  # (N,) int32
+    roi: Optional[jax.Array]  # (N, max_t, H, W) uint8
+    labels: list[str]
+
+    @property
+    def n(self) -> int:
+        return int(self.X.shape[0])
+
+    @property
+    def x_dim(self) -> int:
+        return int(self.X.shape[-1])
+
+    @property
+    def max_t(self) -> int:
+        return int(self.X.shape[1])
+
+    def gather(self, idx: jax.Array):
+        """Batch gather; runs on device when arrays are device-resident."""
+        roi = None if self.roi is None else jnp.take(self.roi, idx, axis=0)
+        return (
+            jnp.take(self.X, idx, axis=0),
+            jnp.take(self.lengths, idx, axis=0),
+            roi,
+            jnp.take(self.y, idx, axis=0),
+        )
+
+
+def build_device_dataset(
+    files: list[str],
+    label_to_id: dict[str, int],
+    max_t: int,
+    use_roi: bool,
+    x_dim: Optional[int] = None,
+    roi_hw: tuple[int, int] = (48, 96),
+    device: bool = True,
+) -> DeviceDataset:
+    clips = load_clips(files)
+    if x_dim is not None:
+        for c in clips:
+            c.X = fix_dim(c.X, x_dim)
+    batch = batch_clips(clips, label_to_id, max_t, use_roi, roi_hw)
+    put = jnp.asarray if device else np.asarray
+    return DeviceDataset(
+        X=put(batch.X),
+        lengths=put(batch.lengths),
+        y=put(batch.y),
+        roi=None if batch.roi is None else put(batch.roi),
+        labels=[c.label for c in clips],
+    )
+
+
+def epoch_batches(
+    n: int,
+    batch_size: int,
+    rng: np.random.Generator,
+    *,
+    weights: Optional[np.ndarray] = None,
+    shuffle: bool = True,
+    drop_last: bool = False,
+) -> Iterator[np.ndarray]:
+    """Yield index arrays for one epoch.
+
+    With ``weights``, samples n indices with replacement (the reference's
+    WeightedRandomSampler); otherwise a shuffled (or sequential) permutation.
+    The final short batch is padded by wrapping (so jit sees one batch shape)
+    unless drop_last.
+    """
+    if weights is not None:
+        p = weights / weights.sum()
+        order = rng.choice(n, size=n, replace=True, p=p)
+    elif shuffle:
+        order = rng.permutation(n)
+    else:
+        order = np.arange(n)
+    for s in range(0, n, batch_size):
+        chunk = order[s : s + batch_size]
+        if len(chunk) < batch_size:
+            if drop_last:
+                return
+            pad = order[: batch_size - len(chunk)]
+            if len(pad) < batch_size - len(chunk):  # tiny corpus: wrap more
+                reps = -(-(batch_size - len(chunk)) // max(1, len(order)))
+                pad = np.tile(order, reps)[: batch_size - len(chunk)]
+            chunk = np.concatenate([chunk, pad])
+        yield chunk.astype(np.int32)

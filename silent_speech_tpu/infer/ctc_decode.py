@@ -1,0 +1,125 @@
+"""CTC dictionary decoding — the open-vocabulary inference path.
+
+Reference flow (inactive/facial_landmark_detection.py:285-394): on clip end,
+trim silence by the openness channel, run the CTC model, then score every
+dictionary word with the CTC forward algorithm plus a length prior and pick
+the argmax. The reference's per-word Python double loop (O(T*S) each) becomes
+one vmapped lattice sweep over the whole padded dictionary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import ctc_model
+from ..ops.ctc import ctc_word_logprobs_batch, length_prior_penalty
+
+
+def trim_silence(
+    X: np.ndarray,
+    R: Optional[np.ndarray],
+    *,
+    open_idx: int = -3,
+    thresh: float = 0.05,
+    pad: int = 2,
+):
+    """Trim leading/trailing frames whose openness channel is below thresh
+    (inactive/train_model.py:48-57). open_idx=-3 addresses the
+    mouth_open_px scalar in the official 180-D layout."""
+    if len(X) == 0:
+        return X, R
+    o = X[:, open_idx]
+    active = np.where(o > thresh)[0]
+    if len(active) == 0:
+        return X, R
+    s = max(0, active[0] - pad)
+    e = min(len(X), active[-1] + pad + 1)
+    return X[s:e], None if R is None else R[s:e]
+
+
+@dataclasses.dataclass
+class Dictionary:
+    """A padded id-encoded word list for batch scoring."""
+
+    words: list[str]
+    ids: np.ndarray  # (N, L_max) int32
+    lens: np.ndarray  # (N,) int32
+
+    @classmethod
+    def from_words(cls, words: list[str]) -> "Dictionary":
+        texts = [ctc_model.normalize_label(w) for w in words]
+        encoded = [ctc_model.encode_text(t) for t in texts]
+        L = max(len(e) for e in encoded)
+        ids = np.zeros((len(words), L), np.int32)
+        lens = np.zeros(len(words), np.int32)
+        for i, e in enumerate(encoded):
+            ids[i, : len(e)] = e
+            lens[i] = len(e)
+        return cls(words=list(words), ids=ids, lens=lens)
+
+
+class CTCDecoder:
+    """Dictionary-constrained decoder over a BiGRU-CTC model."""
+
+    def __init__(
+        self,
+        params: dict,
+        dictionary: Dictionary,
+        *,
+        max_t: int = 80,
+        len_lambda: float = 0.02,
+        len_per_char: int = 5,
+        trim_open_idx: int = -3,
+        trim_thresh: float = 0.05,
+        trim_pad: int = 2,
+    ):
+        self.params = params
+        self.dict = dictionary
+        self.max_t = max_t
+        self.len_lambda = len_lambda
+        self.len_per_char = len_per_char
+        self.trim_kw = dict(open_idx=trim_open_idx, thresh=trim_thresh, pad=trim_pad)
+
+        @jax.jit
+        def _logprobs(params, X, roi_norm, lengths):
+            return ctc_model.forward(params, X, roi_norm, lengths)
+
+        self._logprobs = _logprobs
+
+    def score_clip(self, X: np.ndarray, roi: np.ndarray) -> list[tuple[str, float]]:
+        """X: (T, D) f32; roi: (T, H, W) uint8. Returns (word, score) sorted
+        best-first, scores including the length prior."""
+        X, roi = trim_silence(np.asarray(X, np.float32), np.asarray(roi),
+                              **self.trim_kw)
+        T = min(len(X), self.max_t)
+        if T == 0:
+            return []
+        Xp = np.zeros((self.max_t, X.shape[1]), np.float32)
+        Xp[:T] = X[:T]
+        Rp = np.zeros((self.max_t,) + roi.shape[1:], np.float32)
+        Rp[:T] = roi[:T].astype(np.float32) / 255.0
+        lp = self._logprobs(
+            self.params, jnp.asarray(Xp[None]), jnp.asarray(Rp[None]),
+            jnp.asarray(np.asarray([T], np.int32)),
+        )[0]
+        scores = ctc_word_logprobs_batch(
+            lp, jnp.asarray(self.dict.ids), jnp.asarray(self.dict.lens),
+            jnp.asarray(np.int32(T)),
+        )
+        if self.len_lambda > 0:
+            scores = length_prior_penalty(
+                scores, jnp.asarray(self.dict.lens), jnp.asarray(np.int32(T)),
+                self.len_lambda, self.len_per_char,
+            )
+        s = np.asarray(scores)
+        order = np.argsort(s)[::-1]
+        return [(self.dict.words[i], float(s[i])) for i in order]
+
+    def predict(self, X: np.ndarray, roi: np.ndarray) -> Optional[str]:
+        ranked = self.score_clip(X, roi)
+        return ranked[0][0] if ranked else None

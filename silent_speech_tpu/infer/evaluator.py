@@ -1,0 +1,142 @@
+"""Offline dataset evaluation — BASELINE config #2.
+
+The reference sweeps every clip through the model one at a time
+(inactive/dataset_eval.py:44-73) printing dataset accuracy, average
+confidence, and the top-10 confusion pairs, with labels parsed from
+filenames. Here the sweep is batched: the whole corpus is padded/stacked once
+and evaluated in large device batches.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.schema import fix_dim, load_clip, parse_filename_label
+from ..data.corpus import scan_corpus
+from .predictor import Predictor
+
+
+def _softmax(x: np.ndarray, axis=-1) -> np.ndarray:
+    x = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def evaluate_dataset(
+    predictor: Predictor,
+    clip_dir: str,
+    *,
+    batch_size: int = 64,
+    label_from_filename: bool = True,
+    verbose: bool = True,
+) -> dict:
+    """Sweep clip_dir with the official model's live forward.
+
+    Returns {accuracy, avg_conf, confusions, n}. Mirrors the reference
+    report format: dataset acc, avg conf, top-10 (true, pred) pairs.
+    """
+    index = scan_corpus(clip_dir, verbose=False)
+    label_to_id = {v: k for k, v in predictor.id_to_label.items()}
+
+    X_list, L_list, R_list, true_labels = [], [], [], []
+    for f in index.files:
+        c = load_clip(f)
+        if predictor.cfg.use_roi:
+            c = c.aligned()
+        X = fix_dim(c.X, predictor.cfg.x_dim)
+        T = min(c.T, predictor.max_t)
+        Xp = np.zeros((predictor.max_t, predictor.cfg.x_dim), np.float32)
+        Xp[:T] = X[:T]
+        X_list.append(Xp)
+        L_list.append(T)
+        if predictor.cfg.use_roi:
+            Rp = np.zeros(
+                (predictor.max_t, predictor.cfg.roi_h, predictor.cfg.roi_w),
+                np.uint8,
+            )
+            if c.roi is not None:
+                Rp[:T] = c.roi[:T]
+            R_list.append(Rp)
+        true_labels.append(
+            parse_filename_label(f) if label_from_filename else c.label
+        )
+
+    X = np.stack(X_list)
+    L = np.asarray(L_list, np.int32)
+    R = np.stack(R_list) if predictor.cfg.use_roi else None
+
+    correct, total, conf_sum = 0, 0, 0.0
+    cm: Counter = Counter()
+    for s in range(0, len(X), batch_size):
+        e = s + batch_size
+        logits = predictor.predict_batch(
+            X[s:e], L[s:e], None if R is None else R[s:e]
+        )
+        probs = _softmax(logits)
+        preds = probs.argmax(-1)
+        for i, pid in enumerate(preds):
+            pred_word = predictor.id_to_label.get(int(pid), str(int(pid)))
+            true_word = true_labels[s + i]
+            cm[(true_word, pred_word)] += 1
+            correct += int(pred_word == true_word)
+            conf_sum += float(probs[i, pid])
+            total += 1
+
+    acc = correct / total if total else 0.0
+    avg_conf = conf_sum / total if total else 0.0
+    confusions = [(p, n) for p, n in cm.most_common(10)]
+    if verbose:
+        print("dataset acc:", acc)
+        print("avg conf:", avg_conf)
+        print("top confusions:", confusions)
+    return dict(accuracy=acc, avg_conf=avg_conf, confusions=confusions, n=total)
+
+
+def zscore(X: np.ndarray) -> np.ndarray:
+    """Per-clip feature z-scoring used by the legacy eval pipelines
+    (inactive/dataset_eval.py:18-19)."""
+    return (X - X.mean(0, keepdims=True)) / (X.std(0, keepdims=True) + 1e-6)
+
+
+def evaluate_temporal_cnn(
+    params: dict,
+    d_in: int,
+    id_to_word: dict[int, str],
+    clip_dir: str,
+    *,
+    verbose: bool = True,
+) -> dict:
+    """Legacy path parity: TemporalCNN over z-scored, dim-fixed clips
+    (inactive/dataset_eval.py:44-73 semantics, batched per clip because the
+    legacy model takes full variable-length clips)."""
+    from ..models.variants import temporal_cnn_forward
+
+    index = scan_corpus(clip_dir, verbose=False)
+    correct = total = 0
+    conf_sum = 0.0
+    cm: Counter = Counter()
+    for f in index.files:
+        c = load_clip(f)
+        X = zscore(fix_dim(c.X.astype(np.float32), d_in))
+        logits = np.asarray(temporal_cnn_forward(params, jnp.asarray(X[None])))
+        probs = _softmax(logits)[0]
+        pid = int(probs.argmax())
+        pred_word = id_to_word.get(pid, str(pid))
+        true_word = parse_filename_label(f)
+        cm[(true_word, pred_word)] += 1
+        correct += int(pred_word == true_word)
+        conf_sum += float(probs[pid])
+        total += 1
+    acc = correct / total if total else 0.0
+    avg_conf = conf_sum / total if total else 0.0
+    if verbose:
+        print("dataset acc:", acc)
+        print("avg conf:", avg_conf)
+        print("top confusions:", cm.most_common(10))
+        print("model d_in:", d_in)
+    return dict(accuracy=acc, avg_conf=avg_conf,
+                confusions=cm.most_common(10), n=total)

@@ -1,0 +1,153 @@
+"""Offline/clip prediction — the live-inference compute path.
+
+Reproduces live_infer_official.py's predict block (:338-359): truncate the
+recorded clip to max_t, run the *live* forward (no ROI standardization), and
+return the top-k (word, prob) list. The forward is jitted once per (T, D)
+bucket; clips are padded to bucketed lengths so repeated predictions hit the
+jit cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.schema import Clip, pad_trim_time
+from ..models import bigru as model
+from ..train.checkpoint import load_checkpoint
+
+
+def topk_from_logits(
+    logits: np.ndarray, id_to_label: dict[int, str], k: int = 3
+) -> list[tuple[str, float]]:
+    """Softmax + top-k, formatted as the reference
+    (live_infer_official.py:223-226)."""
+    x = np.asarray(logits, dtype=np.float64).reshape(-1)
+    x = x - x.max()
+    p = np.exp(x)
+    p /= p.sum()
+    top = np.argsort(p)[::-1][:k]
+    return [(id_to_label[int(i)], float(p[i])) for i in top]
+
+
+def _bucket(T: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if T <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclasses.dataclass
+class Predictor:
+    """Jitted clip predictor for the official model."""
+
+    params: dict
+    cfg: model.BiGRUConfig
+    id_to_label: dict[int, str]
+    max_t: int = 90
+    min_frames: int = 5
+    buckets: tuple[int, ...] = (16, 32, 64, 90)
+
+    def __post_init__(self):
+        self.buckets = tuple(sorted(set(list(self.buckets) + [self.max_t])))
+
+        @partial(jax.jit, static_argnames=())
+        def _fwd(params, X, lengths, roi):
+            return model.live_forward(params, self.cfg, X, lengths, roi)
+
+        self._fwd = _fwd
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw) -> "Predictor":
+        params, meta, _ = load_checkpoint(path)
+        cfg = model.BiGRUConfig(
+            x_dim=int(meta["x_dim"]),
+            num_classes=len(meta["labels"]),
+            use_roi=bool(meta["use_roi"]),
+            gru_layers=int(meta.get("gru_layers", 2)),
+            roi_h=int(meta.get("roi_h", 48)),
+            roi_w=int(meta.get("roi_w", 96)),
+        )
+        id_to_label = {int(k): v for k, v in meta["id_to_label"].items()}
+        params = jax.tree.map(jnp.asarray, params)
+        return cls(params=params, cfg=cfg, id_to_label=id_to_label,
+                   max_t=int(meta["max_t"]), **kw)
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, **kw) -> "Predictor":
+        """Load a reference-trained PyTorch checkpoint directly
+        (live_infer_official.py:198-221 loader semantics incl. the
+        gru_layers-defaults-to-2 tolerance)."""
+        import torch
+
+        from ..core.torch_import import import_bigru_classifier
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        gru_layers = int(ckpt.get("gru_layers", 2))
+        use_roi = bool(ckpt.get("use_roi", False))
+        cfg = model.BiGRUConfig(
+            x_dim=int(ckpt["x_dim"]),
+            num_classes=len(ckpt["labels"]),
+            use_roi=use_roi,
+            gru_layers=gru_layers,
+        )
+        params = import_bigru_classifier(
+            ckpt["model"], gru_layers=gru_layers, use_roi=use_roi
+        )
+        params = jax.tree.map(jnp.asarray, params)
+        id_to_label = {int(k): str(v) for k, v in ckpt["id_to_label"].items()}
+        return cls(params=params, cfg=cfg, id_to_label=id_to_label,
+                   max_t=int(ckpt["max_t"]), **kw)
+
+    def predict_arrays(
+        self,
+        feats: np.ndarray,
+        roi: Optional[np.ndarray],
+        k: int = 3,
+    ) -> list[tuple[str, float]]:
+        """feats: (T, D); roi: (T, H, W) uint8 or None. Matches the reference
+        predict block: truncate to max_t, zero-ROI when absent."""
+        T = min(len(feats), self.max_t)
+        if T < self.min_frames:
+            raise ValueError(f"clip too short: {T} < {self.min_frames} frames")
+        feats = np.asarray(feats[:T], np.float32)
+        Tb = _bucket(T, self.buckets)
+        X, _ = pad_trim_time(feats, Tb)
+        X = X[None]
+        lengths = np.asarray([T], np.int32)
+        if self.cfg.use_roi:
+            if roi is None:
+                R = np.zeros((1, Tb, self.cfg.roi_h, self.cfg.roi_w), np.uint8)
+            else:
+                Rt, _ = pad_trim_time(np.asarray(roi[:T], np.uint8), Tb)
+                R = Rt[None]
+        else:
+            R = None
+        logits = self._fwd(
+            self.params, jnp.asarray(X), jnp.asarray(lengths),
+            None if R is None else jnp.asarray(R),
+        )
+        return topk_from_logits(np.asarray(logits)[0], self.id_to_label, k)
+
+    def predict_clip(self, clip: Clip, k: int = 3) -> list[tuple[str, float]]:
+        clip = clip.aligned() if self.cfg.use_roi else clip
+        return self.predict_arrays(clip.X, clip.roi, k)
+
+    def predict_batch(
+        self,
+        X: np.ndarray,
+        lengths: np.ndarray,
+        roi: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Batched logits for padded (B, T, D) [+ (B, T, H, W) u8] arrays."""
+        return np.asarray(
+            self._fwd(
+                self.params, jnp.asarray(X), jnp.asarray(lengths),
+                None if roi is None else jnp.asarray(roi),
+            )
+        )

@@ -1,0 +1,21 @@
+from .checkpoint import load_checkpoint, reference_meta, save_checkpoint
+from .loop import train
+from .step import (
+    StepConfig,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    smoothed_cross_entropy,
+)
+
+__all__ = [
+    "load_checkpoint",
+    "reference_meta",
+    "save_checkpoint",
+    "train",
+    "StepConfig",
+    "make_eval_step",
+    "make_optimizer",
+    "make_train_step",
+    "smoothed_cross_entropy",
+]

@@ -1,0 +1,177 @@
+"""The official training pipeline, end to end.
+
+Reproduces train_model_official.py main() (:315-508) — corpus preflight, modal
+dim filter, stratified split, weighted sampling, Adam + CE(ls=0.05) +
+grad-clip, per-epoch validation with top-confusion reporting, best-val
+checkpointing, patience early stop — with a TPU-native execution model: the
+dataset lives in HBM, every train step is one jitted XLA program, and the
+console lines keep the reference's format (they are the de-facto UX contract).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import TrainConfig
+from ..data import (
+    OFFICIAL_AUGMENT,
+    build_device_dataset,
+    build_label_maps,
+    epoch_batches,
+    filter_modal_dim,
+    inverse_frequency_weights,
+    scan_corpus,
+    split_by_label,
+    top_confusions,
+    warn_mixed_idx_signatures,
+)
+from ..models import bigru as model
+from .checkpoint import reference_meta, save_checkpoint
+from .step import StepConfig, make_eval_step, make_optimizer, make_train_step
+
+
+def train(cfg: TrainConfig, verbose: bool = True) -> dict:
+    """Run the full official training pipeline; returns a result dict with
+    best_acc, params, meta, and history."""
+    index = scan_corpus(cfg.clip_dir, verbose=verbose)
+    index, x_dim = filter_modal_dim(index, verbose=verbose)
+    warn_mixed_idx_signatures(index, verbose=verbose)
+
+    label_to_id, id_to_label = build_label_maps(index.labels)
+    num_classes = len(label_to_id)
+    if verbose:
+        print("Classes:", sorted(label_to_id))
+
+    train_files, val_files = split_by_label(
+        index.files, index.labels, cfg.val_frac, seed=cfg.seed, verbose=verbose
+    )
+    if verbose:
+        print("Train clips:", len(train_files), "Val clips:", len(val_files))
+
+    use_roi = cfg.use_roi_if_present and index.n_roi > 0
+    if verbose:
+        print("Using ROI in training." if use_roi else "Training WITHOUT ROI.")
+
+    train_ds = build_device_dataset(
+        train_files, label_to_id, cfg.max_t, use_roi, x_dim,
+        roi_hw=(cfg.roi_h, cfg.roi_w),
+    )
+    val_ds = build_device_dataset(
+        val_files, label_to_id, cfg.max_t, use_roi, x_dim,
+        roi_hw=(cfg.roi_h, cfg.roi_w),
+    )
+    weights = inverse_frequency_weights(train_ds.labels)
+
+    mcfg = model.BiGRUConfig(
+        x_dim=x_dim,
+        num_classes=num_classes,
+        use_roi=use_roi,
+        roi_emb=cfg.roi_emb,
+        hidden=cfg.hidden,
+        gru_layers=cfg.gru_layers,
+        gru_dropout=cfg.gru_dropout,
+        head_dropout=cfg.head_dropout,
+        roi_h=cfg.roi_h,
+        roi_w=cfg.roi_w,
+    )
+    scfg = StepConfig(
+        model=mcfg,
+        label_smoothing=cfg.label_smoothing,
+        augment=OFFICIAL_AUGMENT,
+        compute_dtype=cfg.compute_dtype,
+    )
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, init_key = jax.random.split(key)
+    params = model.init_params(init_key, mcfg)
+    optimizer = make_optimizer(cfg.lr, cfg.grad_clip_norm)
+    opt_state = optimizer.init(params)
+
+    train_step = make_train_step(scfg, optimizer)
+    eval_step = make_eval_step(scfg)
+
+    sampler_rng = np.random.default_rng(cfg.seed)
+    meta = reference_meta(
+        x_dim=x_dim, max_t=cfg.max_t, use_roi=use_roi,
+        roi_w=cfg.roi_w, roi_h=cfg.roi_h,
+        labels=sorted(label_to_id), label_to_id=label_to_id,
+        id_to_label=id_to_label, seed=cfg.seed, gru_layers=cfg.gru_layers,
+    )
+
+    best_acc, bad = 0.0, 0
+    best_params = params
+    history = []
+    step_rng = key
+
+    for ep in range(1, cfg.epochs + 1):
+        t0 = time.perf_counter()
+        tr_loss = tr_acc = tr_n = 0.0
+        for idx in epoch_batches(
+            train_ds.n, cfg.batch_size, sampler_rng, weights=weights
+        ):
+            params, opt_state, step_rng, m = train_step(
+                params, opt_state, step_rng,
+                train_ds.X, train_ds.lengths, train_ds.roi, train_ds.y,
+                jnp.asarray(idx),
+            )
+            b = len(idx)
+            tr_loss += float(m["loss"]) * b
+            tr_acc += float(m["acc"]) * b
+            tr_n += b
+        tr_loss /= max(1.0, tr_n)
+        tr_acc /= max(1.0, tr_n)
+
+        va_loss = va_acc = va_n = 0.0
+        y_true_all, y_pred_all = [], []
+        for idx in epoch_batches(
+            val_ds.n, cfg.batch_size, sampler_rng, shuffle=False, drop_last=False
+        ):
+            Xb, Lb, Rb, yb = val_ds.gather(jnp.asarray(idx))
+            m = eval_step(params, Xb, Lb, Rb, yb)
+            b = len(idx)
+            va_loss += float(m["loss"]) * b
+            va_acc += float(m["acc"]) * b
+            va_n += b
+            y_true_all.extend(np.asarray(yb).tolist())
+            y_pred_all.extend(np.asarray(m["pred"]).tolist())
+        va_loss /= max(1.0, va_n)
+        va_acc /= max(1.0, va_n)
+
+        confs = top_confusions(y_true_all, y_pred_all, id_to_label, k=6)
+        conf_str = (" | top confusions: " + ", ".join(confs)) if confs else ""
+        dt = time.perf_counter() - t0
+        if verbose:
+            print(
+                f"ep {ep:02d} | train loss {tr_loss:.4f} acc {tr_acc:.3f} | "
+                f"val loss {va_loss:.4f} acc {va_acc:.3f}{conf_str} [{dt:.1f}s]"
+            )
+        history.append(
+            dict(epoch=ep, train_loss=tr_loss, train_acc=tr_acc,
+                 val_loss=va_loss, val_acc=va_acc, seconds=dt)
+        )
+
+        if va_acc > best_acc:
+            best_acc = va_acc
+            bad = 0
+            best_params = jax.tree.map(lambda a: np.asarray(a), params)
+            save_checkpoint(cfg.out_path, best_params, meta)
+            if verbose:
+                print(f"  saved {cfg.out_path} (best val acc {best_acc:.3f})")
+        else:
+            bad += 1
+            if bad >= cfg.patience:
+                if verbose:
+                    print(f"Early stopping. Best val acc: {best_acc:.3f}")
+                break
+
+    if verbose:
+        print("Done. Best val acc:", best_acc)
+    return dict(
+        best_acc=best_acc, params=best_params, meta=meta, history=history,
+        model_config=mcfg,
+    )

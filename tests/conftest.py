@@ -1,13 +1,19 @@
 """Test configuration.
 
-Notes on the execution environment:
-- The interpreter may boot with a TPU backend pre-registered (sitecustomize),
-  so JAX_PLATFORMS cannot be overridden here. Instead we (a) force float32
-  matmul precision globally so parity tests aren't wrecked by the TPU's
-  default bf16 MXU passes, and (b) request 8 virtual CPU host devices via
-  XLA_FLAGS *before* the lazy CPU client is created — multi-chip sharding
-  tests then build their mesh from ``jax.devices("cpu")``, the standard way
-  to test pjit layouts without a TPU pod.
+The interpreter may boot with a TPU backend pre-registered (sitecustomize),
+so JAX_PLATFORMS cannot simply be overridden here. Instead the default device
+is pointed at the host CPU platform, with 8 virtual CPU devices requested
+*before* the lazy CPU client is created (XLA_FLAGS). This gives:
+
+- exact float32 math for the torch-parity tests (TPU default bf16 matmuls
+  would blow the 1e-3 tolerance, and forcing 'highest' precision makes the
+  remote TPU compiler pathologically slow);
+- fast local compiles for the many small test programs;
+- an 8-device mesh for multi-chip sharding tests — the standard way to test
+  pjit layouts without a TPU pod.
+
+TPU-backend smoke tests opt in via the ``tpu`` marker and explicit
+device_put; run them with ``pytest -m tpu``.
 """
 
 import os
@@ -21,10 +27,31 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_default_matmul_precision", "highest")
+_CPU0 = jax.devices("cpu")[0]
+jax.config.update("jax_default_device", _CPU0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "tpu: requires the real TPU backend")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("-m"):
+        return
+    try:
+        jax.devices("tpu")
+        have_tpu = True
+    except RuntimeError:
+        have_tpu = False
+    if have_tpu:
+        return
+    skip = pytest.mark.skip(reason="no TPU backend available")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture
