@@ -1,0 +1,83 @@
+"""Benchmark: official-model inference throughput on one chip.
+
+Metric (BASELINE.json north star): clips/sec/chip for 32-frame landmark+ROI
+windows through the live-inference forward (the live_infer_official.py
+compute path), batched, data device-resident. Target >= 5000 clips/s/chip.
+
+Methodology notes:
+- Dispatch latency to the device can be tens of ms (remote relay), so the
+  timing loop runs *inside* one jitted program as a lax.scan over ITERS
+  forward passes; wall time is measured around a single dispatch +
+  materialization.
+- Each iteration's inputs carry a (runtime-zero) data dependency on the
+  previous iteration's logits so XLA cannot CSE or hoist any stage of the
+  model out of the loop.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BASELINE_CLIPS_PER_SEC = 5000.0
+T = 32  # frames per clip (reference median clip length)
+ITERS = 50
+
+
+def main():
+    from silent_speech_tpu.models import bigru as model
+
+    mcfg = model.BiGRUConfig(x_dim=180, num_classes=10, use_roi=True)
+    params = model.init_params(jax.random.PRNGKey(0), mcfg)
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def loop_fwd(params, X, lengths, roi, iters):
+        def body(carry, _):
+            Xc, Rc = carry
+            logits = model.live_forward(params, mcfg, Xc, lengths, Rc)
+            # runtime-zero feedback: keeps every iteration live and distinct
+            eps = logits[0, 0] * 1e-30
+            Xc = Xc + eps
+            Rc = Rc + (eps > 1e30).astype(jnp.uint8)
+            return (Xc, Rc), logits[0, 0]
+        (Xf, _), outs = lax.scan(body, (X, roi), None, length=iters)
+        return outs[-1] + Xf[0, 0, 0]
+
+    rng = np.random.default_rng(0)
+    best, best_B = 0.0, 0
+    for B in (256, 512, 1024):
+        X = jnp.asarray(rng.standard_normal((B, T, 180)).astype(np.float32))
+        lengths = jnp.asarray(np.full((B,), T, np.int32))
+        roi = jnp.asarray(rng.integers(0, 256, (B, T, 48, 96), dtype=np.uint8))
+        float(loop_fwd(params, X, lengths, roi, 2))  # compile + warm
+        float(loop_fwd(params, X, lengths, roi, ITERS))  # warm the big loop
+        t0 = time.perf_counter()
+        float(loop_fwd(params, X, lengths, roi, ITERS))
+        dt = (time.perf_counter() - t0) / ITERS
+        cps = B / dt
+        if cps > best:
+            best, best_B = cps, B
+    print(
+        json.dumps(
+            {
+                "metric": f"inference_clips_per_sec_per_chip_T{T}_B{best_B}",
+                "value": round(best, 1),
+                "unit": "clips/s",
+                "vs_baseline": round(best / BASELINE_CLIPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Device mesh construction and sharding rules.
+
+The reference is single-process CPU-only (SURVEY.md section 2.4) — this
+subsystem is the rebuild contract: a ('data', 'model') mesh over ICI, batch
+sharded on 'data' (DP), with optional tensor-parallel sharding of the GRU
+hidden axis and head projections on 'model' for scaled workloads. All
+collectives are emitted by GSPMD from the sharding annotations — no manual
+transport layer. Multi-host/DCN extends the same mesh via
+``jax.distributed.initialize`` without code changes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    *,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """Build a ('data', 'model') mesh. With defaults, all available devices go
+    to the data axis."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_spec() -> P:
+    """Batch arrays shard on 'data' along their leading axis."""
+    return P("data")
+
+
+def replicated() -> P:
+    return P()
+
+
+def _gru_dir_tp_spec() -> dict:
+    """Tensor-parallel GRU direction: gate projections column-sharded on
+    'model'. GSPMD inserts the all-gather of the recurrent state that the
+    dense hidden-to-hidden mixing requires."""
+    return {
+        "wi": P(None, "model"),
+        "wh": P(None, "model"),
+        "bi": P("model"),
+        "bh": P("model"),
+    }
+
+
+def _gru_dir_rep_spec() -> dict:
+    return {"wi": P(), "wh": P(), "bi": P(), "bh": P()}
+
+
+def bigru_param_specs(params: dict, *, tensor_parallel: bool = False) -> dict:
+    """PartitionSpec pytree matching models/bigru.py param layout.
+
+    ``tensor_parallel=False``: fully replicated (the right call at the
+    reference's 1.19M-param scale — DP only).
+    ``tensor_parallel=True``: GRU gate projections and head fc1/fc2 sharded
+    on 'model' (the scaled-workload hook, SURVEY.md section 2.4).
+    """
+    gdir = _gru_dir_tp_spec() if tensor_parallel else _gru_dir_rep_spec()
+    spec = {
+        "gru": [
+            {k: dict(gdir) for k in layer} for layer in params["gru"]
+        ],
+        "pool": {"score": {"w": P(), "b": P()}},
+        "head": {
+            "ln": {"scale": P(), "bias": P()},
+            "fc1": {"w": P(None, "model") if tensor_parallel else P(),
+                    "b": P("model") if tensor_parallel else P()},
+            "fc2": {"w": P("model", None) if tensor_parallel else P(),
+                    "b": P()},
+        },
+    }
+    if "roi_cnn" in params:
+        spec["roi_cnn"] = {
+            "conv0": {"w": P(), "b": P()},
+            "conv1": {"w": P(), "b": P()},
+            "conv2": {"w": P(), "b": P()},
+            "fc": {"w": P(None, "model") if tensor_parallel else P(),
+                   "b": P("model") if tensor_parallel else P()},
+        }
+    return spec
+
+
+def shard_params(params: dict, mesh: Mesh, specs: dict) -> dict:
+    """Place a param pytree onto the mesh according to its spec pytree."""
+    return jax.tree.map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )

@@ -1,0 +1,102 @@
+"""Sharded training step — DP/TP over a ('data', 'model') mesh.
+
+The single-chip jitted step (train/step.py) generalizes by annotation only:
+batch arrays shard on 'data', params follow bigru_param_specs, and GSPMD
+emits the gradient psum over 'data' (and the TP collectives over 'model')
+on ICI. This is BASELINE config #5 (data-parallel training across chips).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.augment import augment_batch
+from ..models import bigru as model
+from ..train.step import StepConfig, smoothed_cross_entropy
+from .mesh import bigru_param_specs, shard_params
+
+
+def make_sharded_train_step(
+    scfg: StepConfig,
+    optimizer,
+    mesh: Mesh,
+    params: dict,
+    *,
+    tensor_parallel: bool = False,
+):
+    """Returns (sharded_params, opt_state, step_fn).
+
+    step_fn(params, opt_state, rng, X, lengths, roi, y) -> (params, opt_state,
+    metrics); batch leading axis must divide the 'data' axis size.
+    """
+    dtype = jnp.bfloat16 if scfg.compute_dtype == "bfloat16" else jnp.float32
+    pspecs = bigru_param_specs(params, tensor_parallel=tensor_parallel)
+    params = shard_params(params, mesh, pspecs)
+    opt_state = optimizer.init(params)
+
+    batch_sh = NamedSharding(mesh, P("data"))
+    rep_sh = NamedSharding(mesh, P())
+
+    def loss_fn(params, X, lengths, roi, y, rng):
+        logits = model.train_forward(
+            params, scfg.model, X, lengths, roi, train=True, rng=rng,
+            compute_dtype=dtype,
+        )
+        loss = smoothed_cross_entropy(
+            logits, y, scfg.model.num_classes, scfg.label_smoothing
+        )
+        acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
+        return loss, acc
+
+    @jax.jit
+    def step(params, opt_state, rng, X, lengths, roi, y):
+        X = jax.lax.with_sharding_constraint(X, batch_sh)
+        rng, aug_rng, drop_rng = jax.random.split(rng, 3)
+        if scfg.augment is not None:
+            X, lengths = augment_batch(aug_rng, X, lengths, scfg.augment)
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, X, lengths, roi, y, drop_rng
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "acc": acc}
+
+    def run(params, opt_state, rng, X, lengths, roi, y):
+        X = jax.device_put(X, batch_sh)
+        lengths = jax.device_put(lengths, batch_sh)
+        roi = None if roi is None else jax.device_put(roi, batch_sh)
+        y = jax.device_put(y, batch_sh)
+        rng = jax.device_put(rng, rep_sh)
+        return step(params, opt_state, rng, X, lengths, roi, y)
+
+    return params, opt_state, run
+
+
+def make_sharded_infer_fn(
+    scfg_model: model.BiGRUConfig,
+    mesh: Mesh,
+    *,
+    compute_dtype=jnp.float32,
+):
+    """Data-parallel batched live-forward for serving sweeps."""
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def fwd(params, X, lengths, roi):
+        X = jax.lax.with_sharding_constraint(X, batch_sh)
+        return model.live_forward(
+            params, scfg_model, X, lengths, roi, compute_dtype=compute_dtype
+        )
+
+    def run(params, X, lengths, roi):
+        X = jax.device_put(X, batch_sh)
+        lengths = jax.device_put(lengths, batch_sh)
+        roi = None if roi is None else jax.device_put(roi, batch_sh)
+        return fwd(params, X, lengths, roi)
+
+    return run

@@ -1,0 +1,119 @@
+"""Multi-chip sharding on the 8-virtual-CPU-device mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from silent_speech_tpu.data.augment import OFFICIAL_AUGMENT
+from silent_speech_tpu.models import bigru as model
+from silent_speech_tpu.parallel import (
+    bigru_param_specs,
+    make_mesh,
+    make_sharded_infer_fn,
+    make_sharded_train_step,
+    shard_params,
+)
+from silent_speech_tpu.train.step import StepConfig, make_eval_step, make_optimizer
+
+
+def _setup(use_roi=True, num_classes=5):
+    mcfg = model.BiGRUConfig(x_dim=24, num_classes=num_classes, use_roi=use_roi,
+                             hidden=16, roi_emb=8)
+    params = model.init_params(jax.random.PRNGKey(0), mcfg)
+    return mcfg, params
+
+
+def _batch(rng, B, T=12, D=24, use_roi=True):
+    X = rng.standard_normal((B, T, D)).astype(np.float32)
+    lengths = rng.integers(6, T + 1, B).astype(np.int32)
+    roi = rng.integers(0, 256, (B, T, 48, 96), dtype=np.uint8) if use_roi else None
+    y = rng.integers(0, 5, B).astype(np.int32)
+    return X, lengths, roi, y
+
+
+def test_dp_train_step_runs_and_matches_single_device(cpu_mesh_devices, rng):
+    """A DP step over 8 devices must produce the same params as 1 device."""
+    mcfg, params0 = _setup()
+    scfg = StepConfig(model=mcfg, augment=None)  # augment off for determinism
+    opt = make_optimizer(1e-3)
+
+    mesh8 = make_mesh(cpu_mesh_devices, data=8, model=1)
+    p8, os8, step8 = make_sharded_train_step(scfg, opt, mesh8, params0)
+    mesh1 = make_mesh(cpu_mesh_devices[:1], data=1, model=1)
+    p1, os1, step1 = make_sharded_train_step(scfg, opt, mesh1, params0)
+
+    X, lengths, roi, y = _batch(rng, 16)
+    key = jax.random.PRNGKey(5)
+    p8, os8, m8 = step8(p8, os8, key, X, lengths, roi, y)
+    p1, os1, m1 = step1(p1, os1, key, X, lengths, roi, y)
+
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(p8), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_tp_infer_matches_replicated(cpu_mesh_devices, rng):
+    """Tensor-parallel sharded forward == replicated forward."""
+    mcfg, params = _setup()
+    mesh = make_mesh(cpu_mesh_devices, data=4, model=2)
+    specs = bigru_param_specs(params, tensor_parallel=True)
+    p_tp = shard_params(params, mesh, specs)
+
+    X, lengths, roi, _ = _batch(rng, 8)
+    fwd = make_sharded_infer_fn(mcfg, mesh)
+    got = np.asarray(fwd(p_tp, X, lengths, roi))
+    ref = np.asarray(model.live_forward(
+        params, mcfg, jnp.asarray(X), jnp.asarray(lengths), jnp.asarray(roi)))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_tp_dp_train_step_executes(cpu_mesh_devices, rng):
+    """Full 4x2 DP+TP training step compiles, executes, and updates params."""
+    mcfg, params = _setup()
+    scfg = StepConfig(model=mcfg, augment=OFFICIAL_AUGMENT)
+    opt = make_optimizer(1e-3)
+    mesh = make_mesh(cpu_mesh_devices, data=4, model=2)
+    p, os_, step = make_sharded_train_step(
+        scfg, opt, mesh, params, tensor_parallel=True)
+    X, lengths, roi, y = _batch(rng, 8)
+    p2, os2, m = step(p, os_, jax.random.PRNGKey(1), X, lengths, roi, y)
+    assert np.isfinite(float(m["loss"]))
+    # params actually changed
+    delta = max(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p2))
+    )
+    assert delta > 0
+
+    # TP params are genuinely sharded over 'model'
+    wi = p2["gru"][0]["fwd"]["wi"]
+    assert wi.sharding.spec == P(None, "model")
+
+
+def test_grad_sync_is_global_mean(cpu_mesh_devices, rng):
+    """DP semantics: the update must reflect the *global* batch, not one
+    shard's. Compare an 8-way step on batch B with a 1-device step on the
+    same full batch (already covered) and ensure different per-shard data
+    changes the result vs using only shard 0's data."""
+    mcfg, params0 = _setup(use_roi=False)
+    scfg = StepConfig(model=mcfg, augment=None)
+    opt = make_optimizer(1e-2)
+    mesh8 = make_mesh(cpu_mesh_devices, data=8, model=1)
+    X, lengths, roi, y = _batch(rng, 8, use_roi=False)
+
+    p8, os8, step8 = make_sharded_train_step(scfg, opt, mesh8, params0)
+    p8, _, _ = step8(p8, os8, jax.random.PRNGKey(0), X, lengths, None, y)
+
+    X0 = np.tile(X[:1], (8, 1, 1))  # every shard sees sample 0
+    l0 = np.tile(lengths[:1], 8)
+    y0 = np.tile(y[:1], 8)
+    q8, qs8, qstep = make_sharded_train_step(scfg, opt, mesh8, params0)
+    q8, _, _ = qstep(q8, qs8, jax.random.PRNGKey(0), X0, l0, None, y0)
+
+    diffs = [
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(p8), jax.tree.leaves(q8))
+    ]
+    assert max(diffs) > 1e-6
