@@ -1,0 +1,274 @@
+// Native parallel .npz corpus loader.
+//
+// The reference reopens every .npz per __getitem__ on a single thread
+// (train_model_official.py:133-135,391-400). This loader replaces that hot
+// path: a thread pool walks the clip list, parses each ZIP container,
+// inflates the X / roi / ts entries with zlib, parses the .npy headers, and
+// writes directly into caller-provided padded (N, max_t, ...) arrays — the
+// exact layout the device dataset wants, with zero Python-side copies.
+//
+// Format notes: np.savez_compressed writes a ZIP with one "<name>.npy" entry
+// per array, DEFLATE (method 8) or stored (method 0). NPY v1/v2 headers are
+// a Python dict literal: {'descr': '<f4', 'fortran_order': False,
+// 'shape': (T, D), }.
+
+#include <zlib.h>
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Entry {
+    std::string name;
+    uint64_t comp_size = 0;
+    uint64_t raw_size = 0;
+    uint16_t method = 0;
+    uint64_t data_offset = 0;  // absolute offset of file data
+};
+
+struct Npy {
+    char dtype = 0;      // 'f' float, 'u' uint, 'i' int
+    int itemsize = 0;
+    std::vector<uint64_t> shape;
+    const uint8_t* data = nullptr;
+    std::vector<uint8_t> owned;  // backing store after inflate
+};
+
+uint16_t rd16(const uint8_t* p) { return (uint16_t)(p[0] | (p[1] << 8)); }
+uint32_t rd32(const uint8_t* p) {
+    return (uint32_t)(p[0] | (p[1] << 8) | (p[2] << 16) | ((uint32_t)p[3] << 24));
+}
+
+bool read_file(const char* path, std::vector<uint8_t>& out) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return false;
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    out.resize((size_t)sz);
+    bool ok = fread(out.data(), 1, (size_t)sz, f) == (size_t)sz;
+    fclose(f);
+    return ok;
+}
+
+// Parse the ZIP central directory into entries.
+bool parse_zip(const std::vector<uint8_t>& buf, std::vector<Entry>& entries) {
+    if (buf.size() < 22) return false;
+    // find End Of Central Directory record (scan back over possible comment)
+    size_t eocd = std::string::npos;
+    size_t lo = buf.size() >= (22 + 65535) ? buf.size() - 22 - 65535 : 0;
+    for (size_t i = buf.size() - 22 + 1; i-- > lo;) {
+        if (rd32(&buf[i]) == 0x06054b50) { eocd = i; break; }
+    }
+    if (eocd == std::string::npos) return false;
+    uint16_t n = rd16(&buf[eocd + 10]);
+    uint32_t cd_off = rd32(&buf[eocd + 16]);
+    size_t p = cd_off;
+    for (uint16_t k = 0; k < n; k++) {
+        if (p + 46 > buf.size() || rd32(&buf[p]) != 0x02014b50) return false;
+        Entry e;
+        e.method = rd16(&buf[p + 10]);
+        e.comp_size = rd32(&buf[p + 20]);
+        e.raw_size = rd32(&buf[p + 24]);
+        uint16_t name_len = rd16(&buf[p + 28]);
+        uint16_t extra_len = rd16(&buf[p + 30]);
+        uint16_t cmt_len = rd16(&buf[p + 32]);
+        uint32_t lho = rd32(&buf[p + 42]);
+        e.name.assign((const char*)&buf[p + 46], name_len);
+        // local header gives the actual data offset
+        if (lho + 30 > buf.size() || rd32(&buf[lho]) != 0x04034b50) return false;
+        uint16_t lname = rd16(&buf[lho + 26]);
+        uint16_t lextra = rd16(&buf[lho + 28]);
+        e.data_offset = lho + 30 + lname + lextra;
+        entries.push_back(std::move(e));
+        p += 46 + name_len + extra_len + cmt_len;
+    }
+    return true;
+}
+
+bool inflate_raw(const uint8_t* src, size_t src_len, uint8_t* dst,
+                 size_t dst_len) {
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -MAX_WBITS) != Z_OK) return false;  // raw deflate
+    zs.next_in = const_cast<uint8_t*>(src);
+    zs.avail_in = (uInt)src_len;
+    zs.next_out = dst;
+    zs.avail_out = (uInt)dst_len;
+    int rc = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    return rc == Z_STREAM_END && zs.total_out == dst_len;
+}
+
+bool parse_npy(std::vector<uint8_t>&& blob, Npy& out) {
+    if (blob.size() < 10 || std::memcmp(blob.data(), "\x93NUMPY", 6) != 0)
+        return false;
+    uint8_t major = blob[6];
+    size_t hlen, hoff;
+    if (major == 1) {
+        hlen = rd16(&blob[8]);
+        hoff = 10;
+    } else {
+        hlen = rd32(&blob[8]);
+        hoff = 12;
+    }
+    if (hoff + hlen > blob.size()) return false;
+    std::string hdr((const char*)&blob[hoff], hlen);
+    // descr
+    size_t dp = hdr.find("'descr'");
+    if (dp == std::string::npos) return false;
+    size_t q1 = hdr.find('\'', dp + 7);
+    size_t q2 = hdr.find('\'', q1 + 1);
+    std::string descr = hdr.substr(q1 + 1, q2 - q1 - 1);
+    if (descr.size() < 2) return false;
+    size_t ti = (descr[0] == '<' || descr[0] == '|' || descr[0] == '>') ? 1 : 0;
+    if (descr[0] == '>') return false;  // big-endian unsupported
+    out.dtype = descr[ti];
+    out.itemsize = std::atoi(descr.c_str() + ti + 1);
+    if (hdr.find("'fortran_order': True") != std::string::npos) return false;
+    // shape
+    size_t sp = hdr.find("'shape':");
+    size_t po = hdr.find('(', sp);
+    size_t pc = hdr.find(')', po);
+    std::string shp = hdr.substr(po + 1, pc - po - 1);
+    out.shape.clear();
+    const char* s = shp.c_str();
+    while (*s) {
+        while (*s == ' ' || *s == ',') s++;
+        if (!*s) break;
+        out.shape.push_back(strtoull(s, (char**)&s, 10));
+    }
+    out.owned = std::move(blob);
+    out.data = out.owned.data() + hoff + hlen;
+    return true;
+}
+
+bool load_entry(const std::vector<uint8_t>& zip, const std::vector<Entry>& es,
+                const char* want, Npy& out) {
+    for (const auto& e : es) {
+        if (e.name != want) continue;
+        std::vector<uint8_t> blob;
+        if (e.method == 0) {
+            blob.assign(zip.begin() + e.data_offset,
+                        zip.begin() + e.data_offset + e.raw_size);
+        } else if (e.method == 8) {
+            blob.resize(e.raw_size);
+            if (!inflate_raw(zip.data() + e.data_offset, e.comp_size,
+                             blob.data(), e.raw_size))
+                return false;
+        } else {
+            return false;
+        }
+        return parse_npy(std::move(blob), out);
+    }
+    return false;
+}
+
+// convert a (T, D)-ish source into float32 rows
+void copy_as_f32(const Npy& a, float* dst, uint64_t rows, uint64_t cols) {
+    uint64_t n = rows * cols;
+    if (a.dtype == 'f' && a.itemsize == 4) {
+        std::memcpy(dst, a.data, n * 4);
+    } else if (a.dtype == 'f' && a.itemsize == 8) {
+        const double* s = (const double*)a.data;
+        for (uint64_t i = 0; i < n; i++) dst[i] = (float)s[i];
+    } else if (a.dtype == 'i' && a.itemsize == 8) {
+        const int64_t* s = (const int64_t*)a.data;
+        for (uint64_t i = 0; i < n; i++) dst[i] = (float)s[i];
+    } else if (a.dtype == 'i' && a.itemsize == 4) {
+        const int32_t* s = (const int32_t*)a.data;
+        for (uint64_t i = 0; i < n; i++) dst[i] = (float)s[i];
+    } else if (a.dtype == 'u' && a.itemsize == 1) {
+        const uint8_t* s = a.data;
+        for (uint64_t i = 0; i < n; i++) dst[i] = (float)s[i];
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Load one clip's X (+ optional roi) into padded slices.
+// Returns length (frames used) >= 0, or negative error code.
+int64_t npz_load_clip(const char* path, int64_t max_t, int64_t d,
+                      float* X_out,               // (max_t, d), pre-zeroed
+                      int64_t roi_h, int64_t roi_w,
+                      uint8_t* roi_out,           // (max_t, h, w) or null
+                      int32_t* has_roi_out) {
+    std::vector<uint8_t> zip;
+    if (!read_file(path, zip)) return -1;
+    std::vector<Entry> es;
+    if (!parse_zip(zip, es)) return -2;
+    Npy X;
+    if (!load_entry(zip, es, "X.npy", X)) return -3;
+    if (X.shape.size() != 2) return -4;
+    int64_t T = (int64_t)X.shape[0];
+    int64_t D = (int64_t)X.shape[1];
+    int64_t use_d = D < d ? D : d;  // fix_dim: truncate/zero-pad columns
+    int64_t use_t = T < max_t ? T : max_t;
+
+    Npy R;
+    bool has_roi = roi_out && load_entry(zip, es, "roi.npy", R);
+    if (has_roi) {
+        if (R.shape.size() != 3 || (int64_t)R.shape[1] != roi_h ||
+            (int64_t)R.shape[2] != roi_w || R.dtype != 'u' || R.itemsize != 1)
+            return -5;
+        int64_t Tr = (int64_t)R.shape[0];
+        // conservative X/roi alignment (train_model_official.py:159-169)
+        if (Tr < use_t) use_t = Tr;
+        std::memcpy(roi_out, R.data, (size_t)(use_t * roi_h * roi_w));
+    }
+    if (has_roi_out) *has_roi_out = has_roi ? 1 : 0;
+
+    if (X.dtype == 'f' && X.itemsize == 4 && use_d == D) {
+        for (int64_t t = 0; t < use_t; t++)
+            std::memcpy(X_out + t * d, X.data + (size_t)t * D * 4,
+                        (size_t)use_d * 4);
+    } else {
+        std::vector<float> row(D);
+        for (int64_t t = 0; t < use_t; t++) {
+            Npy rowview = {X.dtype, X.itemsize, {}, X.data + (size_t)t * D * X.itemsize, {}};
+            copy_as_f32(rowview, row.data(), 1, (uint64_t)D);
+            std::memcpy(X_out + t * d, row.data(), (size_t)use_d * 4);
+        }
+    }
+    return use_t;
+}
+
+// Parallel corpus load. lengths_out[i] < 0 encodes that file's error code.
+// Returns the number of failed files.
+int64_t npz_corpus_load(const char** paths, int64_t n, int64_t max_t,
+                        int64_t d, float* X_out, int64_t roi_h, int64_t roi_w,
+                        uint8_t* roi_out, int32_t* lengths_out,
+                        int32_t* has_roi_out, int64_t n_threads) {
+    if (n_threads <= 0) n_threads = (int64_t)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = 1;
+    std::atomic<int64_t> next(0), failed(0);
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n) return;
+            float* Xp = X_out + (size_t)i * max_t * d;
+            uint8_t* Rp = roi_out ? roi_out + (size_t)i * max_t * roi_h * roi_w
+                                  : nullptr;
+            int32_t hr = 0;
+            int64_t rc = npz_load_clip(paths[i], max_t, d, Xp, roi_h, roi_w,
+                                       Rp, &hr);
+            lengths_out[i] = (int32_t)rc;
+            if (has_roi_out) has_roi_out[i] = hr;
+            if (rc < 0) failed.fetch_add(1);
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int64_t k = 0; k < n_threads; k++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    return failed.load();
+}
+
+}  // extern "C"

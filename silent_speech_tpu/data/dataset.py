@@ -62,13 +62,36 @@ def build_device_dataset(
     x_dim: Optional[int] = None,
     roi_hw: tuple[int, int] = (48, 96),
     device: bool = True,
+    prefer_native: bool = True,
 ) -> DeviceDataset:
+    """Load, pad and stack a clip list. Uses the native parallel npz loader
+    (csrc/npz_loader.cpp) for the array payloads when available; labels are
+    read via lazy npz entry access either way."""
+    put = jnp.asarray if device else np.asarray
+    if prefer_native and x_dim is not None:
+        from ..runtime import native
+        if native.available():
+            from .native_loader import load_corpus_arrays
+
+            X, roi, lengths, _ = load_corpus_arrays(
+                files, max_t, x_dim, use_roi, roi_hw
+            )
+            labels = []
+            for f in files:
+                with np.load(f, allow_pickle=True) as d:
+                    labels.append(str(d["label"]))
+            return DeviceDataset(
+                X=put(X),
+                lengths=put(lengths),
+                y=put(np.asarray([label_to_id[l] for l in labels], np.int32)),
+                roi=None if roi is None else put(roi),
+                labels=labels,
+            )
     clips = load_clips(files)
     if x_dim is not None:
         for c in clips:
             c.X = fix_dim(c.X, x_dim)
     batch = batch_clips(clips, label_to_id, max_t, use_roi, roi_hw)
-    put = jnp.asarray if device else np.asarray
     return DeviceDataset(
         X=put(batch.X),
         lengths=put(batch.lengths),

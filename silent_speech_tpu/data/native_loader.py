@@ -1,0 +1,75 @@
+"""Native parallel corpus loading (csrc/npz_loader.cpp) with numpy fallback.
+
+Loads a clip list directly into the padded (N, max_t, D) float32 /
+(N, max_t, H, W) uint8 arrays the device dataset wants, inflating npz entries
+on all cores. Falls back to the pure-Python path when the native library is
+unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional
+
+import numpy as np
+
+from ..runtime import native
+
+
+def load_corpus_arrays(
+    files: list[str],
+    max_t: int,
+    x_dim: int,
+    use_roi: bool,
+    roi_hw: tuple[int, int] = (48, 96),
+    n_threads: int = 0,
+):
+    """Returns (X (N,max_t,x_dim) f32, roi (N,max_t,H,W) u8 | None,
+    lengths (N,) i32, has_roi (N,) bool). Raises on unreadable files."""
+    lib = native.load()
+    N = len(files)
+    H, W = roi_hw
+    X = np.zeros((N, max_t, x_dim), np.float32)
+    roi = np.zeros((N, max_t, H, W), np.uint8) if use_roi else None
+    lengths = np.zeros(N, np.int32)
+    has_roi = np.zeros(N, np.int32)
+
+    if lib is None:
+        from ..core.schema import fix_dim, load_clip
+
+        for i, f in enumerate(files):
+            c = load_clip(f)
+            if use_roi:
+                c = c.aligned()
+            Xi = fix_dim(c.X, x_dim)
+            T = min(c.T, max_t)
+            X[i, :T] = Xi[:T]
+            lengths[i] = T
+            if use_roi and c.roi is not None:
+                roi[i, :T] = c.roi[:T]
+                has_roi[i] = 1
+        return X, roi, lengths, has_roi.astype(bool)
+
+    paths = (ctypes.c_char_p * N)(*[f.encode() for f in files])
+    roi_ptr = (
+        roi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        if use_roi
+        else ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
+    )
+    failed = lib.npz_corpus_load(
+        paths,
+        N,
+        max_t,
+        x_dim,
+        X.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        H,
+        W,
+        roi_ptr,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        has_roi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
+    )
+    if failed:
+        bad = [files[i] for i in range(N) if lengths[i] < 0]
+        raise IOError(f"native loader failed on {failed} files: {bad[:5]}")
+    return X, roi, lengths, has_roi.astype(bool)

@@ -1,4 +1,5 @@
 from .checkpoint import load_checkpoint, reference_meta, save_checkpoint
+from .ctc_loop import train_ctc
 from .loop import train
 from .step import (
     StepConfig,
@@ -13,6 +14,7 @@ __all__ = [
     "reference_meta",
     "save_checkpoint",
     "train",
+    "train_ctc",
     "StepConfig",
     "make_eval_step",
     "make_optimizer",

@@ -1,0 +1,96 @@
+"""Native runtime: ring buffer semantics + parallel npz loader parity,
+including an SPSC stress test across threads."""
+
+import glob
+import threading
+
+import numpy as np
+import pytest
+
+from silent_speech_tpu.core.schema import fix_dim, load_clip
+from silent_speech_tpu.data.native_loader import load_corpus_arrays
+from silent_speech_tpu.data.synthetic import generate_corpus
+from silent_speech_tpu.runtime import native
+from silent_speech_tpu.runtime.ringbuf import FrameRing
+
+
+def test_ringbuf_fifo_and_drop():
+    r = FrameRing(capacity=4, slot_bytes=16)
+    for i in range(r.capacity):
+        assert r.push(np.full(4, i, np.float32), stamp=i)
+    # full now: push must fail and count the drop
+    assert not r.push(np.zeros(4, np.float32))
+    assert r.dropped == 1
+    for i in range(r.capacity):
+        out, stamp = r.pop()
+        assert stamp == i
+        np.testing.assert_array_equal(out.view(np.float32), np.full(4, i))
+    assert r.pop() is None
+
+
+def test_ringbuf_batch_drain():
+    r = FrameRing(capacity=16, slot_bytes=8)
+    for i in range(10):
+        r.push(np.asarray([i, i], np.float32), stamp=i)
+    payloads, stamps = r.pop_batch(6)
+    assert payloads.shape == (6, 8)
+    np.testing.assert_array_equal(stamps, np.arange(6))
+    payloads, stamps = r.pop_batch(100)
+    assert len(payloads) == 4
+    assert len(r) == 0
+
+
+def test_ringbuf_spsc_stress():
+    """Producer and consumer on separate threads: every payload arrives
+    exactly once, in order."""
+    r = FrameRing(capacity=64, slot_bytes=8)
+    N = 20000
+    got = []
+
+    def producer():
+        i = 0
+        while i < N:
+            if r.push(np.asarray([i, i], np.int32), stamp=i):
+                i += 1
+
+    def consumer():
+        while len(got) < N:
+            item = r.pop()
+            if item is not None:
+                got.append(int(item[0].view(np.int32)[0]))
+
+    tp = threading.Thread(target=producer)
+    tc = threading.Thread(target=consumer)
+    tp.start(); tc.start()
+    tp.join(timeout=30); tc.join(timeout=30)
+    assert got == list(range(N))
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_loader_matches_numpy(tmp_path):
+    generate_corpus(str(tmp_path), clips_per_word=3, seed=11)
+    files = sorted(glob.glob(str(tmp_path / "*.npz")))
+    X, roi, lengths, has_roi = load_corpus_arrays(files, 90, 180, True)
+    assert has_roi.all()
+    for i, f in enumerate(files):
+        c = load_clip(f).aligned()
+        T = min(c.T, 90)
+        assert lengths[i] == T
+        np.testing.assert_array_equal(X[i, :T], fix_dim(c.X, 180)[:T])
+        np.testing.assert_array_equal(roi[i, :T], c.roi[:T])
+        assert np.abs(X[i, T:]).max() == 0
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_loader_dim_tolerance(tmp_path):
+    """fix_dim semantics: narrower clips zero-pad, wider clips truncate."""
+    X = np.arange(60, dtype=np.float32).reshape(6, 10)
+    np.savez_compressed(str(tmp_path / "me_yes_1_0000.npz"), X=X, label="yes")
+    Xo, _, L, _ = load_corpus_arrays(
+        [str(tmp_path / "me_yes_1_0000.npz")], 8, 12, False)
+    assert L[0] == 6
+    np.testing.assert_array_equal(Xo[0, :6, :10], X)
+    assert np.abs(Xo[0, :, 10:]).max() == 0
+    Xo2, _, _, _ = load_corpus_arrays(
+        [str(tmp_path / "me_yes_1_0000.npz")], 8, 7, False)
+    np.testing.assert_array_equal(Xo2[0, :6], X[:, :7])
