@@ -1,0 +1,112 @@
+"""Command-line entry points mirroring the reference scripts 1:1.
+
+    python -m silent_speech_tpu <command> [key=value ...]
+
+Commands:
+    record          webcam clip recorder (record_landmarks_official.py)
+    record-timed    countdown batch recorder (inactive/record_training_data.py)
+    train           official classifier training (train_model_official.py)
+    train-ctc       CTC character-model training (inactive/train_model.py)
+    infer-live      manual-toggle live inference (live_infer_official.py)
+    infer-gated     openness-gated auto-clip inference (inactive/live_lower_half.py)
+    infer-stream    sliding-window streaming (inactive/live_feed.py)
+    eval-dataset    offline corpus sweep (inactive/dataset_eval.py)
+    landmarks-view  landmark index explorer (all_landmarks.py)
+    status          collection-progress dashboard (record_training_data --status)
+    bench           single-chip throughput benchmark
+
+Overrides use the config dataclass field names, e.g.
+``train clip_dir=clips_npz epochs=40 lr=1e-3``.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ..core.config import (
+    CTCTrainConfig,
+    EvalConfig,
+    InferConfig,
+    RecorderConfig,
+    StreamConfig,
+    TrainConfig,
+    apply_overrides,
+)
+
+
+def _split_kv(args):
+    return [a for a in args if "=" in a], [a for a in args if "=" not in a]
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    try:
+        return _dispatch(argv)
+    except (AttributeError, ValueError, RuntimeError, FileNotFoundError, IOError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+def _dispatch(argv) -> int:
+    cmd, args = argv[0], argv[1:]
+    kv, flags = _split_kv(args)
+
+    if cmd == "record":
+        from .record import main as run
+        run(apply_overrides(RecorderConfig(), kv))
+    elif cmd == "record-timed":
+        from .record_timed import main as run
+        run(apply_overrides(RecorderConfig(), kv),
+            status_only="--status" in flags)
+    elif cmd == "status":
+        from .record_timed import print_progress_summary
+        cfg = apply_overrides(RecorderConfig(), kv)
+        print_progress_summary(cfg.out_dir)
+    elif cmd == "train":
+        from ..train import train
+        train(apply_overrides(TrainConfig(), kv))
+    elif cmd == "train-ctc":
+        from ..train import train_ctc
+        train_ctc(apply_overrides(CTCTrainConfig(), kv))
+    elif cmd == "infer-live":
+        from .live import infer_live
+        infer_live(apply_overrides(InferConfig(), kv))
+    elif cmd == "infer-gated":
+        from .live import infer_gated
+        infer_gated(apply_overrides(InferConfig(), kv))
+    elif cmd == "infer-stream":
+        from .live import infer_stream
+        ckpt = kv and dict(x.split("=", 1) for x in kv).get("ckpt_path")
+        if not ckpt:
+            print("usage: infer-stream ckpt_path=<path> [cam_index=N]")
+            return 2
+        extras = dict(x.split("=", 1) for x in kv)
+        infer_stream(ckpt, StreamConfig(),
+                     cam_index=int(extras.get("cam_index", 0)))
+    elif cmd == "eval-dataset":
+        from ..infer import Predictor, evaluate_dataset
+        cfg = apply_overrides(EvalConfig(), kv)
+        pred = (Predictor.from_torch_checkpoint(cfg.ckpt_path)
+                if cfg.ckpt_path.endswith(".pt")
+                else Predictor.from_checkpoint(cfg.ckpt_path))
+        evaluate_dataset(pred, cfg.clip_dir, batch_size=cfg.batch_size)
+    elif cmd == "landmarks-view":
+        from .landmarks_view import main as run
+        run()
+    elif cmd == "bench":
+        import runpy
+        import os
+        runpy.run_path(
+            os.path.join(os.path.dirname(__file__), "..", "..", "bench.py"),
+            run_name="__main__")
+    else:
+        print(f"unknown command: {cmd}\n{__doc__}")
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,227 @@
+"""Live inference apps.
+
+- ``infer_live``: manual-toggle clip prediction (live_infer_official.py),
+  with the top-3 overlay and the fahhh/lebron audio easter eggs.
+- ``infer_gated``: openness-gated auto-clip prediction
+  (inactive/live_lower_half.py semantics via OpennessGate).
+- ``infer_stream``: sliding-window continuous prediction
+  (inactive/live_feed.py semantics via SlidingWindowEngine).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import InferConfig, StreamConfig
+from ..core.landmarks import FIXED_IDXS
+from ..infer import OpennessGate, Predictor, SlidingWindowEngine
+from ..ops.features import extract_features_frame
+from ..ops.roi import crop_resize_gray_batched
+from ..runtime.capture import (
+    CameraSource,
+    FaceLandmarkerSession,
+    draw_landmark_points,
+    play_audio,
+)
+
+import jax.numpy as jnp
+
+FAH_PATH = "audios/fahhhh.mp3"
+BOOM_PATH = "audios/vine-boom.mp3"
+
+
+def _roi_frame(frame_bgr, center, scale, cfg, mode="area"):
+    roi, ok = crop_resize_gray_batched(
+        jnp.asarray(frame_bgr[None, None]),
+        jnp.asarray(np.asarray(center, np.float32)[None, None]),
+        jnp.asarray(np.asarray([[scale]], np.float32)),
+        out_h=cfg.roi_h, out_w=cfg.roi_w, mode=mode, input_layout="bgr",
+    )
+    if bool(np.asarray(ok)[0, 0]):
+        return np.asarray(roi)[0, 0]
+    return np.zeros((cfg.roi_h, cfg.roi_w), np.uint8)
+
+
+def _overlay_top3(cv2, out, top3):
+    y0 = 110
+    for i, (word, prob) in enumerate(top3[:3]):
+        cv2.putText(out, f"{i + 1}) {word}  {prob:.2f}", (20, y0 + 28 * i),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.8 if i == 0 else 0.7,
+                    (0, 255, 0), 2)
+
+
+def infer_live(cfg: InferConfig = InferConfig(),
+               model_path: str = "models/face_landmarker.task"):
+    import cv2
+
+    predictor = (
+        Predictor.from_torch_checkpoint(cfg.ckpt_path)
+        if cfg.ckpt_path.endswith(".pt")
+        else Predictor.from_checkpoint(cfg.ckpt_path)
+    )
+    print(f"Loaded model. use_roi={predictor.cfg.use_roi} "
+          f"max_t={predictor.max_t} classes={len(predictor.id_to_label)}")
+
+    cam = CameraSource(cfg.cam_index)
+    lm = FaceLandmarkerSession(model_path, video_mode=True)
+
+    recording = False
+    bufX, bufR = [], []
+    prev_xy = None
+    last_top3 = None
+    last_pred = None
+
+    try:
+        for frame, ts in cam.frames():
+            face = lm.detect(frame, ts)
+            out = frame.copy()
+            if face is not None:
+                h, w = out.shape[:2]
+                feat, xy_n, center, mw = extract_features_frame(face, w, h, prev_xy)
+                in_range = cfg.mouth_w_min_px <= mw <= cfg.mouth_w_max_px
+                if cfg.draw_points:
+                    draw_landmark_points(out, face, FIXED_IDXS)
+                cv2.putText(out, f"mouth_w={mw:.1f}px {'OK' if in_range else 'OUT'}",
+                            (20, 300), cv2.FONT_HERSHEY_SIMPLEX, 0.6,
+                            (0, 255, 0) if in_range else (0, 0, 255), 2)
+                if recording and in_range:
+                    prev_xy = xy_n
+                    bufX.append(feat)
+                    if predictor.cfg.use_roi:
+                        bufR.append(_roi_frame(frame, center, mw, predictor.cfg))
+                elif recording:
+                    prev_xy = None
+
+            cv2.putText(out, f"{'REC' if recording else 'IDLE'} | r start/stop | q quit",
+                        (20, 40), cv2.FONT_HERSHEY_SIMPLEX, 0.9, (255, 255, 255), 2)
+            if recording:
+                cv2.putText(out, f"frames: {len(bufX)}", (20, 75),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.8, (255, 255, 255), 2)
+            if last_top3 is not None:
+                _overlay_top3(cv2, out, last_top3)
+                if last_pred != "FAH" and last_top3[0][0] == "fahhh":
+                    play_audio(FAH_PATH)
+                    last_pred = "FAH"
+                if last_pred != "LEBRON" and last_top3[0][0] == "lebron":
+                    play_audio(BOOM_PATH)
+                    last_pred = "LEBRON"
+
+            cv2.imshow("Live Infer", out)
+            key = cv2.waitKey(1) & 0xFF
+            if key in (27, ord("q")):
+                break
+            if key == ord("r"):
+                recording = not recording
+                if recording:
+                    bufX, bufR = [], []
+                    prev_xy, last_top3 = None, None
+                    print("Recording started...")
+                else:
+                    print(f"Recording stopped. frames={len(bufX)}. Predicting...")
+                    last_pred = None
+                    if len(bufX) < cfg.min_frames:
+                        print("Too short.")
+                        continue
+                    roi = np.stack(bufR) if bufR else None
+                    last_top3 = predictor.predict_arrays(
+                        np.stack(bufX), roi, k=cfg.topk)
+                    print("Top3:", last_top3)
+    finally:
+        cam.release()
+        lm.close()
+        cv2.destroyAllWindows()
+
+
+def infer_gated(cfg: InferConfig = InferConfig(),
+                stream_cfg: StreamConfig = StreamConfig(),
+                model_path: str = "models/face_landmarker.task"):
+    import cv2
+
+    predictor = (
+        Predictor.from_torch_checkpoint(cfg.ckpt_path)
+        if cfg.ckpt_path.endswith(".pt")
+        else Predictor.from_checkpoint(cfg.ckpt_path)
+    )
+    gate = OpennessGate(stream_cfg)
+    cam = CameraSource(cfg.cam_index)
+    lm = FaceLandmarkerSession(model_path, video_mode=True)
+    last_top3, hold = None, 0
+
+    try:
+        for frame, ts in cam.frames():
+            face = lm.detect(frame, ts)
+            out = frame.copy()
+            if face is not None:
+                h, w = out.shape[:2]
+                feat, xy_n, center, mw = extract_features_frame(face, w, h, None)
+                openness = feat[-1]  # mouth_aspect (normalized openness)
+                roi = (_roi_frame(frame, center, mw, predictor.cfg)
+                       if predictor.cfg.use_roi else None)
+                ev = gate.push(float(openness), feat, roi)
+                state = "SPEAKING" if gate.speaking else "idle"
+                cv2.putText(out, f"open={openness:.3f} [{state}]", (20, 70),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 0), 2)
+                if ev is not None and len(ev.frames) >= cfg.min_frames:
+                    last_top3 = predictor.predict_arrays(ev.frames, ev.rois, k=3)
+                    hold = stream_cfg.hold_frames
+                    print("Top3:", last_top3)
+            if last_top3 is not None and hold > 0:
+                _overlay_top3(cv2, out, last_top3)
+                hold -= 1
+            cv2.imshow("Gated Infer", out)
+            if cv2.waitKey(1) & 0xFF in (27, ord("q")):
+                break
+    finally:
+        cam.release()
+        lm.close()
+        cv2.destroyAllWindows()
+
+
+def infer_stream(ckpt_path: str, stream_cfg: StreamConfig = StreamConfig(),
+                 model_path: str = "models/face_landmarker.task",
+                 cam_index: int = 0):
+    """Sliding-window streaming with the 83-D GRUWordClassifier family."""
+    import cv2
+    import jax
+
+    from ..models.variants import gru_word_classifier_forward
+    from ..ops.features import lip83_features_batched
+    from ..train.checkpoint import load_checkpoint
+
+    params, meta, _ = load_checkpoint(ckpt_path)
+    id_to_label = {int(k): v for k, v in meta["id_to_label"].items()}
+    input_dim = int(meta.get("input_dim", 83))
+
+    @jax.jit
+    def fwd(X):
+        return gru_word_classifier_forward(params, X)
+
+    engine = SlidingWindowEngine(fwd, input_dim, stream_cfg)
+    cam = CameraSource(cam_index)
+    lm = FaceLandmarkerSession(model_path, video_mode=False)
+    last_label, last_conf = "...", 0.0
+
+    try:
+        for frame, ts in cam.frames():
+            face = lm.detect(frame)
+            out = frame
+            open_val = 0.0
+            if face is not None:
+                feats, openness = lip83_features_batched(
+                    jnp.asarray(face[None, None]))
+                open_val = float(np.asarray(openness)[0, 0])
+                res = engine.push(np.asarray(feats)[0, 0])
+                if res is not None:
+                    pred, conf, _ = res
+                    last_label, last_conf = id_to_label[pred], conf
+            cv2.putText(out, f"{last_label} ({last_conf:.2f})", (10, 45),
+                        cv2.FONT_HERSHEY_SIMPLEX, 1.5, (0, 255, 0), 3)
+            cv2.putText(out, "Talking" if open_val > 0.04 else "Not talking",
+                        (10, 90), cv2.FONT_HERSHEY_SIMPLEX, 1, (255, 255, 255), 2)
+            cv2.imshow("live", out)
+            if cv2.waitKey(1) & 0xFF == ord("q"):
+                break
+    finally:
+        cam.release()
+        lm.close()
+        cv2.destroyAllWindows()

@@ -1,0 +1,112 @@
+"""Official recorder app (mirrors record_landmarks_official.py).
+
+Keys: 1-0 select the word, 'r' toggles clip recording, 'q'/ESC quits. Clips
+save in the reference `.npz` schema. The per-frame feature/ROI math runs
+through the framework ops; only capture, MediaPipe, and UI stay host-side.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from ..core import RecorderConfig, WORDS
+from ..core.landmarks import FIXED_IDXS
+from ..core.schema import Clip, clip_filename, save_clip
+from ..ops.features import extract_features_frame
+from ..ops.roi import crop_resize_gray_batched
+from ..runtime.capture import (
+    CameraSource,
+    FaceLandmarkerSession,
+    draw_landmark_points,
+)
+
+import jax.numpy as jnp
+
+
+def _crop_roi_host(frame_bgr, center, scale, cfg: RecorderConfig, mode: str):
+    """Single-frame ROI via the batched device kernel (B=T=1)."""
+    roi, ok = crop_resize_gray_batched(
+        jnp.asarray(frame_bgr[None, None]),
+        jnp.asarray(np.asarray(center, np.float32)[None, None]),
+        jnp.asarray(np.asarray([[scale]], np.float32)),
+        out_h=cfg.roi_h, out_w=cfg.roi_w, mode=mode, input_layout="bgr",
+    )
+    return np.asarray(roi)[0, 0] if bool(np.asarray(ok)[0, 0]) else None
+
+
+def main(cfg: RecorderConfig = RecorderConfig(), model_path: str = "models/face_landmarker.task"):
+    import cv2
+
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    keys = list("1234567890")
+    key_to_word = dict(zip(keys, WORDS))
+
+    cam = CameraSource(cfg.cam_index)
+    lm = FaceLandmarkerSession(model_path, video_mode=True)
+
+    recording = False
+    label = WORDS[0]
+    bufX, bufT, bufR = [], [], []
+    prev_xy = None
+    clip_id = 0
+
+    try:
+        for frame, ts in cam.frames():
+            face = lm.detect(frame, ts)
+            out = frame.copy()
+            if face is not None:
+                h, w = frame.shape[:2]
+                feat, xy_n, center, mw = extract_features_frame(face, w, h, prev_xy)
+                in_range = cfg.mouth_w_min_px <= mw <= cfg.mouth_w_max_px
+                if recording and in_range:
+                    prev_xy = xy_n
+                    bufX.append(feat)
+                    bufT.append(ts)
+                    if cfg.save_roi:
+                        roi = _crop_roi_host(frame, center, mw, cfg, "linear")
+                        if roi is not None:
+                            bufR.append(roi)
+                else:
+                    prev_xy = None
+                if cfg.draw_points:
+                    draw_landmark_points(out, face, FIXED_IDXS)
+                cv2.putText(out, f"mouth_w={mw:.1f}px", (20, 140),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.6,
+                            (0, 255, 0) if in_range else (0, 0, 255), 2)
+
+            cv2.putText(out, f"{'REC' if recording else 'IDLE'} | {label}",
+                        (20, 40), cv2.FONT_HERSHEY_SIMPLEX, 0.9,
+                        (255, 255, 255), 2)
+            cv2.imshow("Recorder", out)
+            key = cv2.waitKey(1) & 0xFF
+            if key in (27, ord("q")):
+                break
+            ch = chr(key) if 32 <= key < 127 else ""
+            if ch in key_to_word:
+                label = key_to_word[ch]
+            if ch == "r":
+                recording = not recording
+                if recording:
+                    bufX, bufT, bufR = [], [], []
+                    prev_xy = None
+                elif len(bufX) > cfg.min_frames:
+                    clip = Clip(
+                        X=np.stack(bufX).astype(np.float32),
+                        ts=np.asarray(bufT),
+                        label=label,
+                        speaker=cfg.speaker,
+                        idxs=np.asarray(FIXED_IDXS, np.int32),
+                        roi=np.stack(bufR) if cfg.save_roi and bufR else None,
+                    )
+                    fname = clip_filename(cfg.speaker, label, int(time.time()), clip_id)
+                    save_clip(clip, os.path.join(cfg.out_dir, fname),
+                              min_frames=cfg.min_frames)
+                    print("saved", fname)
+                    clip_id += 1
+    finally:
+        cam.release()
+        lm.close()
+        cv2.destroyAllWindows()

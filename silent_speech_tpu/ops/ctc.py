@@ -20,10 +20,25 @@ NEG_INF = -1e30
 
 
 def _extend_labels(labels: jnp.ndarray, blank: int) -> jnp.ndarray:
-    """(.., L) labels -> (.., 2L+1) blank-interleaved extended sequence."""
+    """(.., L) labels -> (.., 2L+1) blank-interleaved extended sequence.
+
+    Built with stack+reshape+concat only: a strided scatter
+    (``.at[..., 1::2].set``) stalls the TPU compiler for minutes on these
+    small unaligned shapes.
+    """
     L = labels.shape[-1]
-    ext = jnp.full(labels.shape[:-1] + (2 * L + 1,), blank, dtype=labels.dtype)
-    return ext.at[..., 1::2].set(labels)
+    blanks = jnp.full_like(labels, blank)
+    inter = jnp.stack([blanks, labels], axis=-1).reshape(
+        labels.shape[:-1] + (2 * L,)
+    )
+    tail = jnp.full(labels.shape[:-1] + (1,), blank, dtype=labels.dtype)
+    return jnp.concatenate([inter, tail], axis=-1)
+
+
+def _shift2(ext: jnp.ndarray, blank: int) -> jnp.ndarray:
+    """ext shifted right by two states (prev-prev label), blank-filled."""
+    pad = jnp.full(ext.shape[:-1] + (2,), blank, dtype=ext.dtype)
+    return jnp.concatenate([pad, ext[..., :-2]], axis=-1)
 
 
 def _ctc_alphas(log_probs, input_lengths, ext, allow_skip):
@@ -32,22 +47,39 @@ def _ctc_alphas(log_probs, input_lengths, ext, allow_skip):
     log_probs: (B, T, C) log-softmax outputs; input_lengths: (B,);
     ext: (B, S) extended labels; allow_skip: (B, S) bool.
     Returns final alpha (B, S) with per-sample time freezing.
+
+    TPU notes: (1) the emission gather for *all* timesteps is hoisted out of
+    the scan into one one-hot matmul (a gather inside a scan body makes the
+    TPU compile pathologically slow); (2) the lattice axis S is padded up to
+    a multiple of 128 lanes — the TPU compiler takes minutes on the
+    unaligned shift/concat scan but compiles the padded version in seconds.
+    Padding is sound because the recursion only moves mass toward higher s
+    (shift right), so states >= S never influence the real lattice.
     """
     B, T, C = log_probs.shape
     S = ext.shape[-1]
+    ext_orig_s = S
+    S_pad = -(-S // 128) * 128
+    if S_pad != S:
+        ext = jnp.pad(ext, ((0, 0), (0, S_pad - S)))  # padded states emit class 0
+        allow_skip = jnp.pad(allow_skip, ((0, 0), (0, S_pad - S)))
+        S = S_pad
+
+    # (B, S, C) one-hot of ext -> emissions (B, T, S) via one batched matmul
+    ext_onehot = jax.nn.one_hot(ext, C, dtype=log_probs.dtype)  # (B, S, C)
+    emit = jnp.einsum("btc,bsc->bts", log_probs, ext_onehot)  # (B, T, S)
 
     alpha0 = jnp.full((B, S), NEG_INF)
-    e0 = jnp.take_along_axis(log_probs[:, 0], ext, axis=-1)
-    alpha0 = alpha0.at[:, 0].set(e0[:, 0])
+    alpha0 = alpha0.at[:, 0].set(emit[:, 0, 0])
     if S > 1:
-        alpha0 = alpha0.at[:, 1].set(e0[:, 1])
+        alpha0 = alpha0.at[:, 1].set(emit[:, 0, 1])
 
     def shift(a, k):
         pad = jnp.full((B, k), NEG_INF)
         return jnp.concatenate([pad, a[:, : S - k]], axis=-1)
 
-    def step(alpha, t):
-        e_t = jnp.take_along_axis(log_probs[:, t], ext, axis=-1)  # (B, S)
+    def step(alpha, inp):
+        e_t, t = inp
         a0 = alpha
         a1 = shift(alpha, 1)
         a2 = jnp.where(allow_skip, shift(alpha, 2), NEG_INF)
@@ -64,8 +96,11 @@ def _ctc_alphas(log_probs, input_lengths, ext, allow_skip):
         valid = (t < input_lengths)[:, None]
         return jnp.where(valid, new, alpha), None
 
-    alpha, _ = lax.scan(step, alpha0, jnp.arange(1, T))
-    return alpha
+    alpha, _ = lax.scan(
+        step, alpha0,
+        (emit[:, 1:].swapaxes(0, 1), jnp.arange(1, T)),
+    )
+    return alpha[:, : ext_orig_s]
 
 
 @partial(jax.jit, static_argnames=("blank", "zero_infinity"))
@@ -89,7 +124,7 @@ def ctc_loss(
     ext = _extend_labels(labels, blank)  # (B, S)
     S = ext.shape[-1]
     s_idx = jnp.arange(S)[None, :]
-    prev2 = jnp.where(s_idx >= 2, ext[:, jnp.maximum(0, jnp.arange(S) - 2)], blank)
+    prev2 = _shift2(ext, blank)
     # a label position may skip the preceding blank iff its char differs from
     # the previous char (standard CTC transition rule)
     allow_skip = (s_idx >= 2) & (ext != blank) & (ext != prev2)
@@ -134,7 +169,7 @@ def _ctc_nll_single(log_probs, input_lengths, labels, label_lengths, blank):
     ext = _extend_labels(labels, blank)
     S = ext.shape[-1]
     s_idx = jnp.arange(S)[None, :]
-    prev2 = jnp.where(s_idx >= 2, ext[:, jnp.maximum(0, jnp.arange(S) - 2)], blank)
+    prev2 = _shift2(ext, blank)
     allow_skip = (s_idx >= 2) & (ext != blank) & (ext != prev2)
     s_valid = s_idx < (2 * label_lengths[:, None] + 1)
     alpha = _ctc_alphas(log_probs, input_lengths, ext, allow_skip)
