@@ -7,6 +7,9 @@ Commands:
     record-timed    countdown batch recorder (inactive/record_training_data.py)
     train           official classifier training (train_model_official.py)
     train-ctc       CTC character-model training (inactive/train_model.py)
+    train-reduced   5-word BiGRU w/ rich augmentation (inactive/train_reduced.py)
+    train-unigru    trim/delta/z-score uni-GRU (inactive/train_model_1130pm.py)
+    train-mlp       mean+std summary MLP with TEST split (inactive/train_5_quick.py)
     infer-live      manual-toggle live inference (live_infer_official.py)
     infer-gated     openness-gated auto-clip inference (inactive/live_lower_half.py)
     infer-stream    sliding-window streaming (inactive/live_feed.py)
@@ -71,6 +74,15 @@ def _dispatch(argv) -> int:
     elif cmd == "train-ctc":
         from ..train import train_ctc
         train_ctc(apply_overrides(CTCTrainConfig(), kv))
+    elif cmd == "train-reduced":
+        from ..train.legacy_loops import ReducedConfig, train_reduced
+        train_reduced(apply_overrides(ReducedConfig(), kv))
+    elif cmd == "train-unigru":
+        from ..train.legacy_loops import UniGRUConfig, train_unigru
+        train_unigru(apply_overrides(UniGRUConfig(), kv))
+    elif cmd == "train-mlp":
+        from ..train.legacy_loops import MLPQuickConfig, train_mlp_quick
+        train_mlp_quick(apply_overrides(MLPQuickConfig(), kv))
     elif cmd == "infer-live":
         from .live import infer_live
         infer_live(apply_overrides(InferConfig(), kv))
