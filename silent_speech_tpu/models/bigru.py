@@ -149,10 +149,12 @@ def forward(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    gru_impl: str = "scan",
 ) -> jnp.ndarray:
     """X: (B, T, D) f32; lengths: (B,) i32; roi: (B, T, H, W) uint8 or None.
 
-    Returns logits (B, num_classes) in float32.
+    ``gru_impl``: 'scan' (differentiable, default) or 'pallas' (fused
+    sequence kernel, inference-only). Returns logits (B, num_classes) f32.
     """
     X = X.astype(compute_dtype)
     if cfg.use_roi:
@@ -169,15 +171,20 @@ def forward(
     else:
         gru_rng = head_rng = None
 
-    out, _ = gru_ops.bigru(
-        Z,
-        lengths,
-        params["gru"],
-        bidirectional=True,
-        dropout_rate=cfg.gru_dropout if cfg.gru_layers > 1 else 0.0,
-        train=train,
-        rng=gru_rng,
-    )
+    if gru_impl == "pallas" and not train:
+        from ..ops.pallas_gru import bigru_pallas
+
+        out = bigru_pallas(Z, lengths, params["gru"], bidirectional=True)
+    else:
+        out, _ = gru_ops.bigru(
+            Z,
+            lengths,
+            params["gru"],
+            bidirectional=True,
+            dropout_rate=cfg.gru_dropout if cfg.gru_layers > 1 else 0.0,
+            train=train,
+            rng=gru_rng,
+        )
     pooled = pooling.attn_pool(out, lengths, params["pool"])  # (B, 2H)
 
     h = layer_norm(pooled, params["head"]["ln"])
@@ -188,7 +195,8 @@ def forward(
     return logits.astype(jnp.float32)
 
 
-def live_forward(params, cfg, X, lengths, roi=None, compute_dtype=jnp.float32):
+def live_forward(params, cfg, X, lengths, roi=None, compute_dtype=jnp.float32,
+                 gru_impl: str = "scan"):
     """The live-inference forward (no ROI standardization, no dropout) —
     the parity target against live_infer_official.py:124-138."""
     return forward(
@@ -200,6 +208,7 @@ def live_forward(params, cfg, X, lengths, roi=None, compute_dtype=jnp.float32):
         roi_standardize=False,
         train=False,
         compute_dtype=compute_dtype,
+        gru_impl=gru_impl,
     )
 
 

@@ -31,13 +31,26 @@ from ..data import (
     warn_mixed_idx_signatures,
 )
 from ..models import bigru as model
-from .checkpoint import reference_meta, save_checkpoint
+from .checkpoint import load_checkpoint, reference_meta, save_checkpoint
+from .metrics import MetricsLogger, profiler_trace
 from .step import StepConfig, make_eval_step, make_optimizer, make_train_step
 
 
-def train(cfg: TrainConfig, verbose: bool = True) -> dict:
+def train(
+    cfg: TrainConfig,
+    verbose: bool = True,
+    resume_from: str | None = None,
+    metrics_path: str | None = None,
+    profile_dir: str | None = None,
+) -> dict:
     """Run the full official training pipeline; returns a result dict with
-    best_acc, params, meta, and history."""
+    best_acc, params, meta, and history.
+
+    Beyond the reference protocol: ``resume_from`` restores params +
+    optimizer state + epoch counter from a checkpoint saved with
+    ``save_opt_state`` (the reference can only cold-start,
+    SURVEY.md section 5); ``metrics_path`` streams JSONL metrics;
+    ``profile_dir`` captures a jax.profiler trace of the first epoch."""
     index = scan_corpus(cfg.clip_dir, verbose=verbose)
     index, x_dim = filter_modal_dim(index, verbose=verbose)
     warn_mixed_idx_signatures(index, verbose=verbose)
@@ -92,6 +105,19 @@ def train(cfg: TrainConfig, verbose: bool = True) -> dict:
     optimizer = make_optimizer(cfg.lr, cfg.grad_clip_norm)
     opt_state = optimizer.init(params)
 
+    start_epoch = 1
+    if resume_from is not None:
+        r_params, r_meta, r_opt_leaves = load_checkpoint(resume_from)
+        params = jax.tree.map(jnp.asarray, r_params)
+        if r_opt_leaves is not None:
+            treedef = jax.tree.structure(opt_state)
+            opt_state = jax.tree.unflatten(
+                treedef, [jnp.asarray(a) for a in r_opt_leaves]
+            )
+        start_epoch = int(r_meta.get("epoch", 0)) + 1
+        if verbose:
+            print(f"Resumed from {resume_from} at epoch {start_epoch}")
+
     train_step = make_train_step(scfg, optimizer)
     eval_step = make_eval_step(scfg)
 
@@ -107,9 +133,12 @@ def train(cfg: TrainConfig, verbose: bool = True) -> dict:
     best_params = params
     history = []
     step_rng = key
+    mlog = MetricsLogger(metrics_path)
 
-    for ep in range(1, cfg.epochs + 1):
+    for ep in range(start_epoch, cfg.epochs + 1):
         t0 = time.perf_counter()
+        prof_ctx = profiler_trace(profile_dir if ep == start_epoch else None)
+        prof_ctx.__enter__()
         tr_loss = tr_acc = tr_n = 0.0
         for idx in epoch_batches(
             train_ds.n, cfg.batch_size, sampler_rng, weights=weights
@@ -123,6 +152,7 @@ def train(cfg: TrainConfig, verbose: bool = True) -> dict:
             tr_loss += float(m["loss"]) * b
             tr_acc += float(m["acc"]) * b
             tr_n += b
+        prof_ctx.__exit__(None, None, None)
         tr_loss /= max(1.0, tr_n)
         tr_acc /= max(1.0, tr_n)
 
@@ -154,12 +184,17 @@ def train(cfg: TrainConfig, verbose: bool = True) -> dict:
             dict(epoch=ep, train_loss=tr_loss, train_acc=tr_acc,
                  val_loss=va_loss, val_acc=va_acc, seconds=dt)
         )
+        mlog.log(step=ep, train_loss=tr_loss, train_acc=tr_acc,
+                 val_loss=va_loss, val_acc=va_acc, epoch_seconds=dt)
 
         if va_acc > best_acc:
             best_acc = va_acc
             bad = 0
             best_params = jax.tree.map(lambda a: np.asarray(a), params)
-            save_checkpoint(cfg.out_path, best_params, meta)
+            save_checkpoint(
+                cfg.out_path, best_params, dict(meta, epoch=ep),
+                opt_state_arrays=[np.asarray(a) for a in jax.tree.leaves(opt_state)],
+            )
             if verbose:
                 print(f"  saved {cfg.out_path} (best val acc {best_acc:.3f})")
         else:
@@ -169,6 +204,7 @@ def train(cfg: TrainConfig, verbose: bool = True) -> dict:
                     print(f"Early stopping. Best val acc: {best_acc:.3f}")
                 break
 
+    mlog.close()
     if verbose:
         print("Done. Best val acc:", best_acc)
     return dict(
