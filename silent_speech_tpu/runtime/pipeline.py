@@ -1,0 +1,120 @@
+"""Threaded live-inference pipeline: producer -> ring buffer -> device.
+
+The reference runs capture, MediaPipe, feature math, and model inference
+sequentially on one thread, so every stage's latency adds to the frame
+period. Here a producer thread (camera+landmarker, or any frame-feature
+source) pushes fixed-size payloads into the lock-free SPSC ring
+(runtime/ringbuf.py -> csrc/ringbuf.cpp) while the dispatch thread drains it
+and drives a streaming engine — MediaPipe latency overlaps device dispatch,
+and the ring's drop counter surfaces backpressure instead of hidden lag.
+
+Payload layout per frame: [feat (D) f32 | roi (H*W) u8 as f32? no --
+roi raw u8 bytes] — packed by FramePacker so the C++ ring can stay
+type-agnostic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..train.metrics import StageTimer
+from .ringbuf import FrameRing
+
+
+@dataclasses.dataclass
+class FramePacker:
+    """Packs (feat f32 (D,), roi u8 (H, W) or None) into one byte payload."""
+
+    feat_dim: int
+    roi_hw: Optional[tuple[int, int]] = None
+
+    @property
+    def slot_bytes(self) -> int:
+        n = 4 * self.feat_dim
+        if self.roi_hw:
+            n += self.roi_hw[0] * self.roi_hw[1]
+        return n
+
+    def pack(self, feat: np.ndarray, roi: Optional[np.ndarray]) -> np.ndarray:
+        parts = [np.asarray(feat, np.float32).view(np.uint8).reshape(-1)]
+        if self.roi_hw:
+            if roi is None:
+                roi = np.zeros(self.roi_hw, np.uint8)
+            parts.append(np.asarray(roi, np.uint8).reshape(-1))
+        return np.concatenate(parts)
+
+    def unpack(self, payload: np.ndarray):
+        fbytes = 4 * self.feat_dim
+        feat = payload[:fbytes].view(np.float32).copy()
+        roi = None
+        if self.roi_hw:
+            H, W = self.roi_hw
+            roi = payload[fbytes : fbytes + H * W].reshape(H, W).copy()
+        return feat, roi
+
+
+class LivePipeline:
+    """Producer/consumer streaming loop.
+
+    ``source``: yields (feat, roi_or_None, ts_ms) tuples (camera shim or a
+    synthetic generator). ``sink``: called with (feat, roi, ts_ms) on the
+    dispatch thread — typically SlidingWindowEngine.push or
+    OpennessGate.push wrapped by the app.
+    """
+
+    def __init__(
+        self,
+        source,
+        sink: Callable,
+        packer: FramePacker,
+        capacity: int = 256,
+    ):
+        self.source = source
+        self.sink = sink
+        self.packer = packer
+        self.ring = FrameRing(capacity, packer.slot_bytes)
+        self.timer = StageTimer()
+        self._stop = threading.Event()
+        self._produced = 0
+        self._consumed = 0
+
+    def _producer(self):
+        for feat, roi, ts in self.source:
+            if self._stop.is_set():
+                break
+            with self.timer.stage("pack_push"):
+                payload = self.packer.pack(feat, roi)
+                self.ring.push(payload, stamp=int(ts))
+            self._produced += 1
+
+    def _consumer(self):
+        while not self._stop.is_set() or len(self.ring):
+            item = self.ring.pop()
+            if item is None:
+                time.sleep(0.0005)
+                continue
+            payload, ts = item
+            feat, roi = self.packer.unpack(payload)
+            with self.timer.stage("sink"):
+                self.sink(feat, roi, ts)
+            self._consumed += 1
+
+    def run(self, timeout: Optional[float] = None):
+        tp = threading.Thread(target=self._producer, daemon=True)
+        tc = threading.Thread(target=self._consumer, daemon=True)
+        tp.start()
+        tc.start()
+        tp.join(timeout)
+        self._stop.set()
+        tc.join(timeout)
+        return dict(
+            produced=self._produced,
+            consumed=self._consumed,
+            dropped=self.ring.dropped,
+            stages=self.timer.summary(),
+        )
