@@ -150,18 +150,34 @@ def forward(
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     gru_impl: str = "scan",
+    roi_impl: str = "xla",
+    roi_packed: Optional[dict] = None,
 ) -> jnp.ndarray:
     """X: (B, T, D) f32; lengths: (B,) i32; roi: (B, T, H, W) uint8 or None.
 
     ``gru_impl``: 'scan' (differentiable, default) or 'pallas' (fused
-    sequence kernel, inference-only). Returns logits (B, num_classes) f32.
+    sequence kernel, inference-only). ``roi_impl``: 'xla' or 'pallas' (fused
+    TinyROICNN kernel, inference-only; pass ``roi_packed`` from
+    ops.pallas_cnn.pack_roi_cnn_params to reuse the packed weights).
+    Returns logits (B, num_classes) f32.
     """
     X = X.astype(compute_dtype)
     if cfg.use_roi:
         if roi is None:
             raise ValueError("model was built with use_roi=True but got roi=None")
-        r = preprocess_roi(roi, roi_standardize).astype(compute_dtype)
-        roi_e = roi_cnn_forward(params["roi_cnn"], r)
+        if roi_impl == "pallas" and not train:
+            from ..ops.pallas_cnn import pack_roi_cnn_params, roi_cnn_pallas
+
+            if roi_packed is None:
+                roi_packed = pack_roi_cnn_params(params["roi_cnn"])
+            B, T = roi.shape[:2]
+            roi_e = roi_cnn_pallas(
+                roi.reshape(B * T, *roi.shape[2:]), roi_packed,
+                standardize=roi_standardize,
+            ).reshape(B, T, -1).astype(compute_dtype)
+        else:
+            r = preprocess_roi(roi, roi_standardize).astype(compute_dtype)
+            roi_e = roi_cnn_forward(params["roi_cnn"], r)
         Z = jnp.concatenate([X, roi_e], axis=-1)
     else:
         Z = X
@@ -196,7 +212,8 @@ def forward(
 
 
 def live_forward(params, cfg, X, lengths, roi=None, compute_dtype=jnp.float32,
-                 gru_impl: str = "scan"):
+                 gru_impl: str = "scan", roi_impl: str = "xla",
+                 roi_packed: Optional[dict] = None):
     """The live-inference forward (no ROI standardization, no dropout) —
     the parity target against live_infer_official.py:124-138."""
     return forward(
@@ -209,6 +226,8 @@ def live_forward(params, cfg, X, lengths, roi=None, compute_dtype=jnp.float32,
         train=False,
         compute_dtype=compute_dtype,
         gru_impl=gru_impl,
+        roi_impl=roi_impl,
+        roi_packed=roi_packed,
     )
 
 

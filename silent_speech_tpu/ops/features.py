@@ -155,3 +155,89 @@ def lip83_features_batched(landmarks: jnp.ndarray):
         [feat80, openness[..., None], height[..., None], corner[..., None]], axis=-1
     ).astype(jnp.float32)
     return feats, openness
+
+
+def polygon_area(pts: jnp.ndarray) -> jnp.ndarray:
+    """Shoelace area over the last-two dims (..., K, 2)
+    (inactive/record_landmarks.py:76-79)."""
+    x, y = pts[..., 0], pts[..., 1]
+    xr = jnp.roll(x, -1, axis=-1)
+    yr = jnp.roll(y, -1, axis=-1)
+    return 0.5 * jnp.abs(jnp.sum(x * yr - y * xr, axis=-1))
+
+
+@partial(jax.jit, static_argnames=("frame_w", "frame_h"))
+def mouth83_features_batched(
+    landmarks: jnp.ndarray,
+    frame_w: int,
+    frame_h: int,
+    valid: Optional[jnp.ndarray] = None,
+):
+    """Recorder-v1 mouth-only 83-D features
+    (inactive/record_landmarks.py:82-116):
+    40 lip points x 2 (centered, mouth-width normalized) + [openness,
+    normalized lip-loop shoelace area, velocity]. landmarks: (B, T, 468, 2+)
+    normalized coords. Returns (B, T, 83) f32.
+    """
+    from ..core.landmarks import MOUTH_LOWER, MOUTH_UPPER
+
+    mouth_set = np.asarray(sorted(set(MOUTH_UPPER + MOUTH_LOWER)), np.int32)
+    loop_idx = np.asarray(MOUTH_UPPER + MOUTH_LOWER[::-1], np.int32)
+
+    lm_px = landmarks[..., :2] * jnp.asarray([frame_w, frame_h], landmarks.dtype)
+    xy = jnp.take(lm_px, jnp.asarray(mouth_set), axis=-2)  # (B, T, 40, 2)
+    center = jnp.mean(xy, axis=-2)
+    width = mouth_width(lm_px) + _EPS
+    xy_n = (xy - center[..., None, :]) / width[..., None, None]
+
+    openness = (
+        jnp.linalg.norm(
+            lm_px[..., UPPER_INNER, :] - lm_px[..., LOWER_INNER, :], axis=-1
+        )
+        / width
+    )
+    loop = jnp.take(lm_px, jnp.asarray(loop_idx), axis=-2)
+    loop_n = (loop - center[..., None, :]) / width[..., None, None]
+    area = polygon_area(loop_n)
+
+    d = xy_n[:, 1:] - xy_n[:, :-1]
+    vel = jnp.pad(jnp.mean(jnp.linalg.norm(d, axis=-1), axis=-1), ((0, 0), (1, 0)))
+    if valid is not None:
+        pair_ok = jnp.pad(valid[:, 1:] & valid[:, :-1], ((0, 0), (1, 0)))
+        vel = jnp.where(pair_ok, vel, 0.0)
+
+    B, T = xy_n.shape[:2]
+    return jnp.concatenate(
+        [xy_n.reshape(B, T, -1), openness[..., None], area[..., None],
+         vel[..., None]], axis=-1,
+    ).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("frame_w", "frame_h"))
+def v3_features_batched(
+    landmarks: jnp.ndarray,
+    frame_w: int,
+    frame_h: int,
+    valid: Optional[jnp.ndarray] = None,
+):
+    """Recorder-v3 177-D features (inactive/record_landmarks_v3.py:56-68):
+    the 88 fixed points centered and normalized by the *subset x-span*
+    (not mouth width), plus a single velocity scalar. Returns (B, T, 177)."""
+    lm_px = landmarks[..., :2] * jnp.asarray([frame_w, frame_h], landmarks.dtype)
+    xy = jnp.take(lm_px, jnp.asarray(_FIXED), axis=-2)
+    center = jnp.mean(xy, axis=-2)
+    span = (
+        jnp.max(xy[..., 0], axis=-1) - jnp.min(xy[..., 0], axis=-1) + _EPS
+    )
+    xy_n = (xy - center[..., None, :]) / span[..., None, None]
+
+    d = xy_n[:, 1:] - xy_n[:, :-1]
+    vel = jnp.pad(jnp.mean(jnp.linalg.norm(d, axis=-1), axis=-1), ((0, 0), (1, 0)))
+    if valid is not None:
+        pair_ok = jnp.pad(valid[:, 1:] & valid[:, :-1], ((0, 0), (1, 0)))
+        vel = jnp.where(pair_ok, vel, 0.0)
+
+    B, T = xy_n.shape[:2]
+    return jnp.concatenate(
+        [xy_n.reshape(B, T, -1), vel[..., None]], axis=-1
+    ).astype(jnp.float32)

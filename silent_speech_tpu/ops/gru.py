@@ -156,3 +156,45 @@ def bigru(
             mask = jax.random.bernoulli(sub, keep, out.shape)
             out = jnp.where(mask, out / keep, 0.0).astype(out.dtype)
     return out, jnp.concatenate(finals, axis=-1)
+
+
+def unidirectional_gru_chunked(
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    layers: list[dict],
+    *,
+    chunk_size: int,
+    unroll: int = 8,
+):
+    """Arbitrarily long sequences via chunked scans with carry hand-off.
+
+    The idiomatic TPU substitute for sequence parallelism in an RNN pipeline
+    (SURVEY.md section 2.4): the GRU carry *is* the context, so a (B, T, D)
+    stream is processed in fixed-size chunks — each chunk is one jitted scan,
+    and the per-layer hidden states flow between chunks. Produces exactly the
+    same outputs as a single full-length scan (tested), but the compiled
+    program size and live memory are O(chunk) instead of O(T).
+
+    Returns (outputs (B, T, H_top), final carries [per layer (B, H)]).
+    """
+    B, T, _ = x.shape
+    n_chunks = -(-T // chunk_size)
+    carries = [
+        jnp.zeros((B, lp["fwd"]["wh"].shape[0]), x.dtype) for lp in layers
+    ]
+    outs = []
+    for ci in range(n_chunks):
+        s = ci * chunk_size
+        xc = x[:, s : s + chunk_size]
+        # lengths relative to this chunk, clamped to [0, chunk]
+        lc = jnp.clip(lengths - s, 0, xc.shape[1])
+        inp = xc
+        new_carries = []
+        for lp, h0 in zip(layers, carries):
+            inp, h_last = gru_layer_single_direction(
+                inp, lc, lp["fwd"], h0=h0, unroll=unroll
+            )
+            new_carries.append(h_last)
+        carries = new_carries
+        outs.append(inp)
+    return jnp.concatenate(outs, axis=1)[:, :T], carries

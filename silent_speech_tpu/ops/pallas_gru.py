@@ -47,7 +47,7 @@ def _gru_seq_kernel(len_ref, xp_ref, wh_ref, bh_ref, y_ref, h_scratch):
 
     h = h_scratch[:]  # (TB, H)
     H = h.shape[-1]
-    xp_t = xp_ref[:, 0, :]  # (TB, 3H)
+    xp_t = xp_ref[0]  # (TB, 3H)
     hp = (
         jnp.dot(h, wh_ref[:], preferred_element_type=jnp.float32)
         + bh_ref[0, :]
@@ -62,7 +62,7 @@ def _gru_seq_kernel(len_ref, xp_ref, wh_ref, bh_ref, y_ref, h_scratch):
     valid = (len_ref[:, 0] > t)[:, None]  # (TB, 1)
     h_out = jnp.where(valid, h_new, h)
     h_scratch[:] = h_out
-    y_ref[:, 0, :] = jnp.where(valid, h_out, jnp.zeros_like(h_out))
+    y_ref[0] = jnp.where(valid, h_out, jnp.zeros_like(h_out))
 
 
 @functools.partial(jax.jit, static_argnames=("batch_tile", "interpret"))
@@ -91,24 +91,29 @@ def gru_sequence_pallas(
         lengths = jnp.pad(lengths, (0, B_pad - B))
     len2d = lengths.astype(jnp.int32).reshape(-1, 1)
 
-    y = pl.pallas_call(
+    # time-major layout so every block's trailing dims are (row-tile, full
+    # feature dim) — Mosaic requires the last two block dims be 8/128-aligned
+    # or cover the whole array axis
+    xp_tm = xp.swapaxes(0, 1)  # (T, B_pad, 3H)
+
+    y_tm = pl.pallas_call(
         _gru_seq_kernel,
         grid=(B_pad // TB, T),
         in_specs=[
             pl.BlockSpec((TB, 1), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1, H3), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, H3), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H3), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H3), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TB, 1, H), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM
+            (1, TB, H), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B_pad, T, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, B_pad, H), jnp.float32),
         scratch_shapes=[pltpu.VMEM((TB, H), jnp.float32)],
         interpret=interpret,
-    )(len2d, xp.astype(jnp.float32), wh.astype(jnp.float32),
+    )(len2d, xp_tm.astype(jnp.float32), wh.astype(jnp.float32),
       bh.astype(jnp.float32).reshape(1, -1))
-    return y[:B]
+    return y_tm.swapaxes(0, 1)[:B]
 
 
 def gru_layer_pallas(

@@ -90,3 +90,26 @@ def test_padded_outputs_are_zero(rng):
     lengths = np.array([8, 3], dtype=np.int32)
     out, _ = bigru(jnp.asarray(x), jnp.asarray(lengths), layers)
     np.testing.assert_allclose(np.asarray(out)[1, 3:], 0.0)
+
+
+def test_chunked_equals_full_scan(rng):
+    """Chunked carry hand-off == one full-length scan (long-context path)."""
+    from silent_speech_tpu.ops.gru import unidirectional_gru_chunked
+    from silent_speech_tpu.ops.nn import gru_dir_init
+    import jax
+
+    B, T, D, H = 3, 50, 8, 16
+    layers = [
+        {"fwd": gru_dir_init(jax.random.PRNGKey(0), D, H)},
+        {"fwd": gru_dir_init(jax.random.PRNGKey(1), H, H)},
+    ]
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    lengths = jnp.asarray(np.array([50, 23, 7], np.int32))
+
+    full, _ = bigru(x, lengths, layers, bidirectional=False)
+    for chunk in (7, 16, 50, 64):
+        got, carries = unidirectional_gru_chunked(
+            x, lengths, layers, chunk_size=chunk)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                                   atol=1e-5, err_msg=f"chunk={chunk}")
+        assert len(carries) == 2

@@ -1,0 +1,68 @@
+"""Dynamic landmark selection, EMA smoothing, hysteresis, legacy features."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from silent_speech_tpu.core.landmark_select import (
+    EMA,
+    Hysteresis,
+    NOSE_SET,
+    compute_selected_indices,
+    expand_by_index_neighbors,
+)
+from silent_speech_tpu.ops.features import (
+    mouth83_features_batched,
+    polygon_area,
+    v3_features_batched,
+)
+
+
+def test_expand_by_index_neighbors():
+    out = expand_by_index_neighbors({100}, 1)
+    assert out == {98, 99, 100, 101, 102}
+    # clamped at mesh bounds
+    low = expand_by_index_neighbors({0}, 1)
+    assert low == {0, 1, 2}
+    assert expand_by_index_neighbors({5}, 0) == {5}
+
+
+def test_compute_selected_indices(rng):
+    lm = rng.random((468, 2)).astype(np.float32)
+    lm[2, 1] = 0.5  # nose-base cutoff
+    sel = compute_selected_indices(lm)
+    sel_set = set(sel.tolist())
+    # nothing from the nose set; all selected non-cheek points lie below cutoff
+    assert not (sel_set & NOSE_SET)
+    from silent_speech_tpu.core.landmarks import CHEEKS
+    below = {i for i in range(468) if lm[i, 1] > 0.5}
+    assert sel_set == (below | set(CHEEKS)) - NOSE_SET
+    assert sel.dtype == np.int32 and (np.diff(sel) > 0).all()
+
+
+def test_ema_and_hysteresis():
+    e = EMA(alpha=0.5)
+    np.testing.assert_allclose(e.update([2.0, 4.0]), [2.0, 4.0])
+    np.testing.assert_allclose(e.update([4.0, 8.0]), [3.0, 6.0])
+    e.reset()
+    np.testing.assert_allclose(e.update([1.0, 1.0]), [1.0, 1.0])
+
+    h = Hysteresis(low=0.2, high=0.5)
+    assert not h.update(0.4)   # below high: stays closed
+    assert h.update(0.6)       # opens
+    assert h.update(0.3)       # above low: stays open
+    assert not h.update(0.1)   # closes
+
+
+def test_legacy_feature_dims(rng):
+    lms = (0.2 + 0.6 * rng.random((2, 6, 468, 3))).astype(np.float32)
+    f83 = mouth83_features_batched(jnp.asarray(lms), 640, 480)
+    assert f83.shape == (2, 6, 83)
+    f177 = v3_features_batched(jnp.asarray(lms), 640, 480)
+    assert f177.shape == (2, 6, 177)
+    # vel[0] must be zero in both
+    assert float(np.abs(np.asarray(f83)[:, 0, -1]).max()) == 0.0
+    assert float(np.abs(np.asarray(f177)[:, 0, -1]).max()) == 0.0
+
+    sq = jnp.asarray([[0, 0], [2, 0], [2, 3], [0, 3]], jnp.float32)
+    assert float(polygon_area(sq)) == 6.0
