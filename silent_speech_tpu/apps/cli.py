@@ -15,6 +15,9 @@ Commands:
     infer-stream    sliding-window streaming (inactive/live_feed.py)
     eval-dataset    offline corpus sweep (inactive/dataset_eval.py)
     landmarks-view  landmark index explorer (all_landmarks.py)
+    important-landmarks  lower-face selection demo (important_landmarks.py)
+    infer-ctc       CTC dictionary live inference (inactive/facial_landmark_detection.py)
+    debug-npz       corpus keys/shapes debugger (inactive/debug.py)
     status          collection-progress dashboard (record_training_data --status)
     bench           single-chip throughput benchmark
 
@@ -108,6 +111,20 @@ def _dispatch(argv) -> int:
     elif cmd == "landmarks-view":
         from .landmarks_view import main as run
         run()
+    elif cmd == "important-landmarks":
+        from .important_landmarks import main as run
+        run()
+    elif cmd == "infer-ctc":
+        from .live import infer_ctc
+        extras = dict(x.split("=", 1) for x in kv)
+        if "ckpt_path" not in extras:
+            print("usage: infer-ctc ckpt_path=<path> [cam_index=N]")
+            return 2
+        infer_ctc(extras["ckpt_path"], cam_index=int(extras.get("cam_index", 0)))
+    elif cmd == "debug-npz":
+        from .debug_npz import main as run
+        extras = dict(x.split("=", 1) for x in kv)
+        return run(extras.get("clip_dir", "clips_npz"))
     elif cmd == "bench":
         import runpy
         import os

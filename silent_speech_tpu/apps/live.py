@@ -225,3 +225,61 @@ def infer_stream(ckpt_path: str, stream_cfg: StreamConfig = StreamConfig(),
         cam.release()
         lm.close()
         cv2.destroyAllWindows()
+
+
+def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",
+              cam_index: int = 0):
+    """CTC dictionary-scored live inference
+    (inactive/facial_landmark_detection.py semantics): manual-toggle clips,
+    silence-trimmed, every dictionary word scored in one vmapped sweep."""
+    import cv2
+    import jax
+
+    from ..infer.ctc_decode import CTCDecoder, Dictionary
+    from ..train.checkpoint import load_checkpoint
+
+    params, meta, _ = load_checkpoint(ckpt_path)
+    params = jax.tree.map(jnp.asarray, params)
+    dictionary = Dictionary.from_words(list(meta["uniq_labels"]))
+    dec = CTCDecoder(
+        params, dictionary, max_t=int(meta["max_t"]),
+        len_lambda=float(meta.get("len_lambda", 0.02)),
+        len_per_char=int(meta.get("exp_len", 5)),
+    )
+    roi_cfg = InferConfig()
+    cam = CameraSource(cam_index)
+    lm = FaceLandmarkerSession(model_path, video_mode=True)
+    recording, bufX, bufR, prev_xy = False, [], [], None
+    last = None
+    try:
+        for frame, ts in cam.frames():
+            face = lm.detect(frame, ts)
+            out = frame.copy()
+            if face is not None and recording:
+                h, w = out.shape[:2]
+                feat, xy_n, center, mw = extract_features_frame(face, w, h, prev_xy)
+                prev_xy = xy_n
+                bufX.append(feat)
+                bufR.append(_roi_frame(frame, center, mw, roi_cfg))
+            cv2.putText(out, f"{'REC' if recording else 'IDLE'} | r toggle | q quit",
+                        (20, 40), cv2.FONT_HERSHEY_SIMPLEX, 0.9, (255, 255, 255), 2)
+            if last is not None:
+                for i, (word, score) in enumerate(last[:3]):
+                    cv2.putText(out, f"{i + 1}) {word} {score:.1f}",
+                                (20, 110 + 28 * i), cv2.FONT_HERSHEY_SIMPLEX,
+                                0.7, (0, 255, 0), 2)
+            cv2.imshow("CTC Infer", out)
+            key = cv2.waitKey(1) & 0xFF
+            if key in (27, ord("q")):
+                break
+            if key == ord("r"):
+                recording = not recording
+                if recording:
+                    bufX, bufR, prev_xy, last = [], [], None, None
+                elif len(bufX) >= 5:
+                    last = dec.score_clip(np.stack(bufX), np.stack(bufR))
+                    print("ranked:", last[:5])
+    finally:
+        cam.release()
+        lm.close()
+        cv2.destroyAllWindows()

@@ -17,3 +17,6 @@ __all__ = [
     "Dictionary",
     "trim_silence",
 ]
+from .variant_predictor import VariantPredictor  # noqa: E402
+
+__all__.append("VariantPredictor")

@@ -1,0 +1,87 @@
+"""Predictors for the non-official model families.
+
+Dispatches on the ``model`` tag our checkpoints carry (train/legacy_loops.py,
+train/ctc_loop.py); also loads the corresponding reference PyTorch
+checkpoints (word_model.pt / word_model_5.pt schema variants,
+inactive/dataset_eval.py:34-42, inactive/caden_record.py:138-148).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.schema import fix_dim, pad_trim_time
+from ..models import variants as V
+from ..train.checkpoint import load_checkpoint
+from .predictor import topk_from_logits
+
+
+class VariantPredictor:
+    """Jitted clip predictor over a feature-only variant model."""
+
+    def __init__(self, forward: Callable, id_to_label: dict[int, str],
+                 d_in: int, max_t: int, *,
+                 zscore: bool = False, add_deltas: bool = False):
+        self._fwd = jax.jit(forward)
+        self.id_to_label = id_to_label
+        self.d_in = d_in
+        self.max_t = max_t
+        self.zscore = zscore
+        self.add_deltas = add_deltas
+
+    @classmethod
+    def from_checkpoint(cls, path: str) -> "VariantPredictor":
+        params, meta, _ = load_checkpoint(path)
+        model = meta.get("model")
+        if model == "reduced_bigru":
+            fwd = lambda X: V.reduced_bigru_forward(params, X)
+            i2l = {int(k): v for k, v in meta["id_to_label"].items()}
+            return cls(fwd, i2l, int(meta["x_dim"]), int(meta["max_t"]))
+        if model == "unigru":
+            fwd = lambda X: V.unigru_classifier_forward(params, X)
+            i2l = {int(k): v for k, v in meta["id_to_word"].items()}
+            return cls(fwd, i2l, int(meta["d_target"]),
+                       int(meta["t_target"]),
+                       zscore=True, add_deltas=bool(meta.get("use_deltas")))
+        if model == "summary_mlp":
+            def fwd(X):  # X: (B, T, D) -> summary -> logits
+                return V.mlp_forward(params, V.clip_to_summary(X))
+            i2l = {int(k): v for k, v in meta["id_to_label"].items()}
+            return cls(fwd, i2l, int(meta["in_dim"]) // 2, 10 ** 6)
+        raise ValueError(f"unknown variant model tag: {model!r}")
+
+    @classmethod
+    def from_torch_temporal_cnn(cls, path: str) -> "VariantPredictor":
+        """Legacy word_model.pt with the TemporalCNN schema
+        (inactive/dataset_eval.py:34-42: d_in / num_classes / model_state /
+        id_to_word)."""
+        import torch
+
+        from ..core.torch_import import import_temporal_cnn
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        params = import_temporal_cnn(ckpt["model_state"])
+        d_in = int(ckpt["d_in"])
+        i2l = {int(k): str(v) for k, v in ckpt.get("id_to_word", {}).items()}
+        fwd = lambda X: V.temporal_cnn_forward(params, X)
+        return cls(fwd, i2l, d_in, 10 ** 6, zscore=True)
+
+    def predict_features(self, X: np.ndarray, k: int = 3):
+        """X: (T, D_any) -> top-k (word, prob). Applies the family's
+        preprocessing (fix_dim, optional z-score/deltas, pad/trim)."""
+        X = fix_dim(np.asarray(X, np.float32), self.d_in)
+        if self.zscore:
+            X = (X - X.mean(0, keepdims=True)) / (X.std(0, keepdims=True) + 1e-6)
+        if self.add_deltas:
+            d = np.zeros_like(X)
+            d[1:] = X[1:] - X[:-1]
+            X = np.concatenate([X, d], axis=1)
+            X = (X - X.mean(0, keepdims=True)) / (X.std(0, keepdims=True) + 1e-6)
+        if self.max_t < 10 ** 6:
+            X, _ = pad_trim_time(X, self.max_t)
+        logits = np.asarray(self._fwd(jnp.asarray(X[None])))[0]
+        return topk_from_logits(logits, self.id_to_label, k)

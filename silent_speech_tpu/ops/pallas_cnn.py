@@ -115,6 +115,31 @@ def _row_shifted(x, dy, h, n_frames):
     return jnp.where(ok, rolled, 0.0)
 
 
+def _iota2(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _max_pool_2x2_mm(x, C):
+    """2x2/stride-2 max pool on the interleaved (rows, w*C lanes) layout.
+
+    Mosaic cannot lower the 6-D reshape a naive pool needs, so the pool is a
+    roll+max over row/lane neighbors followed by two 0/1 selection matmuls
+    that compact even rows / even w-groups (tiny MXU work). Wrapped roll rows
+    and lanes land only at odd positions, which the selectors drop.
+    """
+    R, L = x.shape
+    m = jnp.maximum(x, pltpu.roll(x, R - 1, axis=0))  # row r vs r+1
+    m = jnp.maximum(m, pltpu.roll(m, L - C, axis=1))  # lane l vs l+C
+    sr = (_iota2((R // 2, R), 1) == 2 * _iota2((R // 2, R), 0)).astype(x.dtype)
+    y = jnp.dot(sr, m, preferred_element_type=jnp.float32)  # (R/2, L)
+    li = _iota2((L, L // 2), 0)
+    di = _iota2((L, L // 2), 1)
+    sc = (
+        (li // C == 2 * (di // C)) & (li % C == di % C)
+    ).astype(x.dtype)
+    return jnp.dot(y, sc, preferred_element_type=jnp.float32)  # (R/2, L/2)
+
+
 def _roi_cnn_kernel(standardize: bool,
                     roi_ref, k1_ref, b1_ref, k2_ref, b2_ref, k3_ref, b3_ref,
                     fcw_ref, fcb_ref, out_ref,
@@ -128,16 +153,28 @@ def _roi_cnn_kernel(standardize: bool,
 
     # Mosaic has no direct u8 -> f32 cast; widen through int32
     x = roi_ref[...].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+    xr = x.reshape(F * H1, W1)  # merge leading dims only (Mosaic-safe)
     if standardize:
-        flat = x.reshape(F, H1 * W1)
-        mu = jnp.mean(flat, axis=1, keepdims=True)
-        var = jnp.sum((flat - mu) ** 2, axis=1, keepdims=True) / (H1 * W1 - 1)
-        flat = (flat - mu) / jnp.maximum(jnp.sqrt(var), 1e-6)
-        x = flat.reshape(F, H1, W1)
+        # per-frame mean/std without (F, H*W) lane reshapes: row sums then a
+        # frame-selector matmul, broadcast back the same way
+        n_px = H1 * W1
+        sf = (_iota2((F, F * H1), 1) // H1 == _iota2((F, F * H1), 0)).astype(
+            jnp.float32
+        )  # (F, F*H1) frame-row selector
+        rowsum = jnp.sum(xr, axis=1, keepdims=True)  # (F*H1, 1)
+        rowsq = jnp.sum(xr * xr, axis=1, keepdims=True)
+        fsum = jnp.dot(sf, rowsum, preferred_element_type=jnp.float32)  # (F, 1)
+        fsq = jnp.dot(sf, rowsq, preferred_element_type=jnp.float32)
+        mu = fsum / n_px
+        var = (fsq - fsum * fsum / n_px) / (n_px - 1)
+        inv = 1.0 / jnp.maximum(jnp.sqrt(var), 1e-6)
+        mu_b = jnp.dot(sf.T, mu, preferred_element_type=jnp.float32)  # (F*H1, 1)
+        inv_b = jnp.dot(sf.T, inv, preferred_element_type=jnp.float32)
+        xr = (xr - mu_b) * inv_b
 
     # stage-1 input buffer: (F*48, 128) with 1-px zero halo columns at 0 and 97
     x1_ref[...] = jnp.zeros_like(x1_ref)
-    x1_ref[:, 1 : 1 + W1] = x.reshape(F * H1, W1)
+    x1_ref[:, 1 : 1 + W1] = xr
     x1 = x1_ref[...]
 
     # ---- conv1: 6 column tiles of (16 w x 8 c) ----
@@ -150,8 +187,7 @@ def _roi_cnn_kernel(standardize: bool,
         c1_ref[:, 128 * j : 128 * (j + 1)] = jnp.maximum(acc + b1_ref[...], 0.0)
 
     # ---- pool1: (F*48, 96w*8c) -> (F*24, 48w*8c) ----
-    c1 = c1_ref[...].reshape(F, H2, 2, W2, 2, C1)
-    pooled1 = jnp.max(jnp.max(c1, axis=4), axis=2).reshape(F * H2, W2 * C1)
+    pooled1 = _max_pool_2x2_mm(c1_ref[...], C1)
 
     # stage-2 buffer with 1-w (8-lane) halos: (F*24, 400)
     x2_ref[...] = jnp.zeros_like(x2_ref)
@@ -168,8 +204,7 @@ def _roi_cnn_kernel(standardize: bool,
         c2_ref[:, 128 * j : 128 * (j + 1)] = jnp.maximum(acc + b2_ref[...], 0.0)
 
     # ---- pool2: (F*24, 48w*16c) -> (F*12, 24w*16c) ----
-    c2 = c2_ref[...].reshape(F, H3, 2, W3, 2, C2)
-    pooled2 = jnp.max(jnp.max(c2, axis=4), axis=2).reshape(F * H3, W3 * C2)
+    pooled2 = _max_pool_2x2_mm(c2_ref[...], C2)
 
     # stage-3 buffer with halos: (F*12, 416)
     x3_ref[...] = jnp.zeros_like(x3_ref)
@@ -185,9 +220,19 @@ def _roi_cnn_kernel(standardize: bool,
                       preferred_element_type=jnp.float32)
         c3_ref[:, 192 * j : 192 * (j + 1)] = jnp.maximum(acc + b3_ref[...], 0.0)
 
-    # ---- global mean over (h, w) + fc ----
-    c3 = c3_ref[...].reshape(F, H3, W3, C3)
-    feat = jnp.mean(c3, axis=(1, 2))  # (F, 24)
+    # ---- global mean over (h, w) + fc (selector matmuls, no 4-D reshape) ----
+    c3 = c3_ref[...]  # (F*12, 24w*24c)
+    sfr = (
+        _iota2((F, F * H3), 1) // H3 == _iota2((F, F * H3), 0)
+    ).astype(jnp.float32)
+    by_frame = jnp.dot(sfr, c3, preferred_element_type=jnp.float32)  # (F, 576)
+    L3 = W3 * C3
+    scol = (
+        _iota2((L3, C3), 0) % C3 == _iota2((L3, C3), 1)
+    ).astype(jnp.float32)
+    feat = jnp.dot(by_frame, scol, preferred_element_type=jnp.float32) / (
+        H3 * W3
+    )  # (F, 24)
     out_ref[...] = (
         jnp.dot(feat, fcw_ref[...], preferred_element_type=jnp.float32)
         + fcb_ref[...]

@@ -331,6 +331,9 @@ def train_mlp_quick(cfg: MLPQuickConfig = MLPQuickConfig(), verbose=True) -> dic
             c = load_clip(f)
             feats.append(np.concatenate([c.X.mean(0), c.X.std(0)]))
             ys.append(label_to_id[c.label])
+        if not feats:  # tiny corpora can yield an empty test split
+            d = 2 * load_clip(index.files[0]).D
+            return np.zeros((0, d), np.float32), np.zeros((0,), np.int32)
         return np.stack(feats).astype(np.float32), np.asarray(ys, np.int32)
 
     Xtr, ytr = to_feats(tr_f)
