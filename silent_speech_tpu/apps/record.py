@@ -52,6 +52,8 @@ def main(cfg: RecorderConfig = RecorderConfig(), model_path: str = "models/face_
     bufX, bufT, bufR = [], [], []
     prev_xy = None
     clip_id = 0
+    from ..core.landmark_select import EMA
+    roi_ema = EMA(cfg.roi_ema_alpha) if cfg.roi_ema_alpha > 0 else None
 
     try:
         for frame, ts in cam.frames():
@@ -66,6 +68,9 @@ def main(cfg: RecorderConfig = RecorderConfig(), model_path: str = "models/face_
                     bufX.append(feat)
                     bufT.append(ts)
                     if cfg.save_roi:
+                        if roi_ema is not None:
+                            sm = roi_ema.update([center[0], center[1], mw])
+                            center, mw = sm[:2], float(sm[2])
                         roi = _crop_roi_host(frame, center, mw, cfg, "linear")
                         if roi is not None:
                             bufR.append(roi)

@@ -26,6 +26,9 @@ class RecorderConfig:
     mouth_w_min_px: float = 60.0
     mouth_w_max_px: float = 150.0
     min_frames: int = 5
+    # EMA stabilization of the ROI center/scale, 0 = off
+    # (inactive/record_landmarks_v2.py:70-73,231-242)
+    roi_ema_alpha: float = 0.0
 
 
 @dataclasses.dataclass

@@ -42,6 +42,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 F_TILE = 16  # frames per grid step
+
+# perf-debug knob: truncate the kernel after a stage ("conv1", "pool1",
+# "conv2", "pool2", "conv3"); None = full kernel. Set before tracing.
+_DEBUG_STOP_AFTER = None
 H1, W1, C1 = 48, 96, 8  # conv1 geometry
 H2, W2, C2in, C2 = 24, 48, 8, 16
 H3, W3, C3in, C3 = 12, 24, 16, 24
@@ -69,11 +73,37 @@ def _pack_conv(k: np.ndarray, w_tile: int, wx_len: int, k_rows_pad: int):
                     continue
                 for ci in range(Ci):
                     row = dy * (wx_len * Ci) + wx * Ci + ci
-                    out[row, w_off * Co : (w_off + 1) * Co] = np.where(
-                        np.arange(Co) >= 0, k[dy, dx, ci, :], 0.0
-                    )
-    # the loop above overwrites rather than accumulates; entries are disjoint
-    # in (row, col) because col fixes w_off and row fixes (dy, wx, ci)
+                    out[row, w_off * Co : (w_off + 1) * Co] = k[dy, dx, ci, :]
+    # entries are disjoint in (row, col): col fixes w_off, row fixes (dy,wx,ci)
+    return out
+
+
+def _pack_conv_halfpooled(k: np.ndarray, w_tile: int, n_groups: int,
+                          k_rows_pad: int):
+    """Packed conv matrix whose K dim walks *unpooled* width groups.
+
+    Lane-direction 2x max pooling has no cheap Mosaic lowering, so the
+    preceding stage only row-pools and leaves lanes as 2x-redundant groups
+    (group g holds max(g, g+1) after a roll+max; even g are the true pooled
+    values). This packing reads the even groups and zeroes the odd ones —
+    the lane compaction is absorbed into MXU columns that were padding
+    anyway. Row index = dy * (n_groups * Ci) + gi * Ci + ci where gi indexes
+    the 2x-redundant group window; only even gi carry weights, with pooled
+    position p = gi // 2 and dx = p - w_off.
+    """
+    k = np.asarray(k, np.float32)
+    _, _, Ci, Co = k.shape
+    out = np.zeros((k_rows_pad, w_tile * Co), np.float32)
+    for dy in range(3):
+        for gi in range(0, n_groups, 2):
+            p = gi // 2
+            for w_off in range(w_tile):
+                dx = p - w_off
+                if not 0 <= dx < 3:
+                    continue
+                for ci in range(Ci):
+                    row = dy * (n_groups * Ci) + gi * Ci + ci
+                    out[row, w_off * Co : (w_off + 1) * Co] = k[dy, dx, ci, :]
     return out
 
 
@@ -85,12 +115,12 @@ def pack_roi_cnn_params(params: dict) -> dict:
     """TinyROICNN param pytree (models/bigru.py layout) -> packed kernel
     operands. Cheap; do it once per loaded checkpoint."""
     k1 = _pack_conv(np.asarray(params["conv0"]["w"]), 16, 18, 64)  # (64,128)
-    k2 = _pack_conv(np.asarray(params["conv1"]["w"]), 8, 10, 256)  # (256,128)
-    k3 = _pack_conv(np.asarray(params["conv2"]["w"]), 8, 10, 480)  # (480,192)
+    k2 = _pack_conv_halfpooled(np.asarray(params["conv1"]["w"]), 8, 20, 512)
+    k3 = _pack_conv_halfpooled(np.asarray(params["conv2"]["w"]), 8, 20, 960)
     return {
         "k1": jnp.asarray(k1),
-        "k2": jnp.asarray(k2),
-        "k3": jnp.asarray(k3),
+        "k2": jnp.asarray(k2),  # (512, 128)
+        "k3": jnp.asarray(k3),  # (960, 192)
         "b1": jnp.asarray(_tile_bias(np.asarray(params["conv0"]["b"]), 16)),
         "b2": jnp.asarray(_tile_bias(np.asarray(params["conv1"]["b"]), 8)),
         "b3": jnp.asarray(_tile_bias(np.asarray(params["conv2"]["b"]), 8)),
@@ -119,25 +149,21 @@ def _iota2(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
-def _max_pool_2x2_mm(x, C):
-    """2x2/stride-2 max pool on the interleaved (rows, w*C lanes) layout.
+def _half_pool(x, C):
+    """2x2 max pool, half-materialized for the Mosaic lowering set:
 
-    Mosaic cannot lower the 6-D reshape a naive pool needs, so the pool is a
-    roll+max over row/lane neighbors followed by two 0/1 selection matmuls
-    that compact even rows / even w-groups (tiny MXU work). Wrapped roll rows
-    and lanes land only at odd positions, which the selectors drop.
+    - rows compact exactly via the one reshape Mosaic supports,
+      ``(R/2, 2, L)`` + max over the middle axis;
+    - lanes only roll+max, leaving 2x-redundant C-lane groups where every
+      *even* group holds the true pooled value — the downstream packed conv
+      (``_pack_conv_halfpooled``) reads even groups and zero-weights odd
+      ones, so the lane compaction rides along in the next MXU matmul.
+
+    x: (R, L) -> (R/2, L) with redundant lanes.
     """
     R, L = x.shape
-    m = jnp.maximum(x, pltpu.roll(x, R - 1, axis=0))  # row r vs r+1
-    m = jnp.maximum(m, pltpu.roll(m, L - C, axis=1))  # lane l vs l+C
-    sr = (_iota2((R // 2, R), 1) == 2 * _iota2((R // 2, R), 0)).astype(x.dtype)
-    y = jnp.dot(sr, m, preferred_element_type=jnp.float32)  # (R/2, L)
-    li = _iota2((L, L // 2), 0)
-    di = _iota2((L, L // 2), 1)
-    sc = (
-        (li // C == 2 * (di // C)) & (li % C == di % C)
-    ).astype(x.dtype)
-    return jnp.dot(y, sc, preferred_element_type=jnp.float32)  # (R/2, L/2)
+    rows = jnp.max(x.reshape(R // 2, 2, L), axis=1)
+    return jnp.maximum(rows, pltpu.roll(rows, L - C, axis=1))
 
 
 def _roi_cnn_kernel(standardize: bool,
@@ -149,7 +175,7 @@ def _roi_cnn_kernel(standardize: bool,
     # the K-pad rows of the packed weights are zero, but the matching patch
     # columns are never written — zero them so 0 * garbage can't produce NaN
     p1_ref[:, 54:] = jnp.zeros_like(p1_ref[:, 54:])
-    p2_ref[:, 240:] = jnp.zeros_like(p2_ref[:, 240:])
+    p2_ref[:, 480:] = jnp.zeros_like(p2_ref[:, 480:])
 
     # Mosaic has no direct u8 -> f32 cast; widen through int32
     x = roi_ref[...].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
@@ -186,39 +212,59 @@ def _roi_cnn_kernel(standardize: bool,
                       preferred_element_type=jnp.float32)
         c1_ref[:, 128 * j : 128 * (j + 1)] = jnp.maximum(acc + b1_ref[...], 0.0)
 
-    # ---- pool1: (F*48, 96w*8c) -> (F*24, 48w*8c) ----
-    pooled1 = _max_pool_2x2_mm(c1_ref[...], C1)
+    if _DEBUG_STOP_AFTER == "conv1":
+        out_ref[...] = jnp.zeros_like(out_ref[...]) + jnp.sum(c1_ref[...])
+        return
 
-    # stage-2 buffer with 1-w (8-lane) halos: (F*24, 400)
+    # ---- pool1 (half-materialized): (F*48, 768) -> (F*24, 768 redundant) ----
+    half1 = _half_pool(c1_ref[...], C1)
+
+    # stage-2 buffer, 2-group (16-lane) zero halos: (F*24, 800)
     x2_ref[...] = jnp.zeros_like(x2_ref)
-    x2_ref[:, C2in : C2in + W2 * C1] = pooled1
+    x2_ref[:, 16 : 16 + W1 * C1] = half1
     x2 = x2_ref[...]
 
-    # ---- conv2: 6 column tiles of (8 w x 16 c) ----
+    if _DEBUG_STOP_AFTER == "pool1":
+        out_ref[...] = jnp.zeros_like(out_ref[...]) + jnp.sum(half1)
+        return
+
+    # ---- conv2: 6 column tiles of (8 w x 16 c); K walks unpooled groups ----
     rows2 = [_row_shifted(x2, dy, H2, F) for dy in range(3)]
     for j in range(6):
         for dy in range(3):
-            p2_ref[:, dy * 80 : dy * 80 + 80] = rows2[dy][:, 64 * j : 64 * j + 80]
+            p2_ref[:, dy * 160 : dy * 160 + 160] = rows2[dy][:, 128 * j : 128 * j + 160]
         acc = jnp.dot(p2_ref[...], k2_ref[...],
                       preferred_element_type=jnp.float32)
         c2_ref[:, 128 * j : 128 * (j + 1)] = jnp.maximum(acc + b2_ref[...], 0.0)
 
-    # ---- pool2: (F*24, 48w*16c) -> (F*12, 24w*16c) ----
-    pooled2 = _max_pool_2x2_mm(c2_ref[...], C2)
+    if _DEBUG_STOP_AFTER == "conv2":
+        out_ref[...] = jnp.zeros_like(out_ref[...]) + jnp.sum(c2_ref[...])
+        return
 
-    # stage-3 buffer with halos: (F*12, 416)
+    # ---- pool2 (half-materialized): (F*24, 768) -> (F*12, 768 redundant) ----
+    half2 = _half_pool(c2_ref[...], C2)
+
+    # stage-3 buffer, 2-group (32-lane) zero halos: (F*12, 832)
     x3_ref[...] = jnp.zeros_like(x3_ref)
-    x3_ref[:, C3in : C3in + W3 * C2] = pooled2
+    x3_ref[:, 32 : 32 + W2 * C2] = half2
     x3 = x3_ref[...]
 
-    # ---- conv3: 3 column tiles of (8 w x 24 c) ----
+    if _DEBUG_STOP_AFTER == "pool2":
+        out_ref[...] = jnp.zeros_like(out_ref[...]) + jnp.sum(half2)
+        return
+
+    # ---- conv3: 3 column tiles of (8 w x 24 c); K walks unpooled groups ----
     rows3 = [_row_shifted(x3, dy, H3, F) for dy in range(3)]
     for j in range(3):
         for dy in range(3):
-            p3_ref[:, dy * 160 : dy * 160 + 160] = rows3[dy][:, 128 * j : 128 * j + 160]
+            p3_ref[:, dy * 320 : dy * 320 + 320] = rows3[dy][:, 256 * j : 256 * j + 320]
         acc = jnp.dot(p3_ref[...], k3_ref[...],
                       preferred_element_type=jnp.float32)
         c3_ref[:, 192 * j : 192 * (j + 1)] = jnp.maximum(acc + b3_ref[...], 0.0)
+
+    if _DEBUG_STOP_AFTER == "conv3":
+        out_ref[...] = jnp.zeros_like(out_ref[...]) + jnp.sum(c3_ref[...])
+        return
 
     # ---- global mean over (h, w) + fc (selector matmuls, no 4-D reshape) ----
     c3 = c3_ref[...]  # (F*12, 24w*24c)
@@ -269,9 +315,9 @@ def roi_cnn_pallas(
             pl.BlockSpec((F, H1, W1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((256, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((512, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((480, 192), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((960, 192), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 192), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((EMB_IN, emb), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, emb), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -281,13 +327,13 @@ def roi_cnn_pallas(
         scratch_shapes=[
             pltpu.VMEM((F * H1, 128), jnp.float32),  # x1 (haloed input)
             pltpu.VMEM((F * H1, 768), jnp.float32),  # conv1 out
-            pltpu.VMEM((F * H2, 400), jnp.float32),  # x2
+            pltpu.VMEM((F * H2, 800), jnp.float32),  # x2 (half-pooled, haloed)
             pltpu.VMEM((F * H2, 768), jnp.float32),  # conv2 out
-            pltpu.VMEM((F * H3, 416), jnp.float32),  # x3
+            pltpu.VMEM((F * H3, 832), jnp.float32),  # x3 (half-pooled, haloed)
             pltpu.VMEM((F * H3, 576), jnp.float32),  # conv3 out
             pltpu.VMEM((F * H1, 64), jnp.float32),  # patch1
-            pltpu.VMEM((F * H2, 256), jnp.float32),  # patch2
-            pltpu.VMEM((F * H3, 480), jnp.float32),  # patch3
+            pltpu.VMEM((F * H2, 512), jnp.float32),  # patch2
+            pltpu.VMEM((F * H3, 960), jnp.float32),  # patch3
         ],
         interpret=interpret,
     )(roi_u8, packed["k1"], packed["b1"], packed["k2"], packed["b2"],
