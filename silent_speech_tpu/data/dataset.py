@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.schema import Clip, batch_clips, fix_dim, pad_trim_time
+from ..core.schema import batch_clips, fix_dim
 from .corpus import load_clips
 
 

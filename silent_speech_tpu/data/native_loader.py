@@ -9,8 +9,6 @@ unavailable.
 from __future__ import annotations
 
 import ctypes
-from typing import Optional
-
 import numpy as np
 
 from ..runtime import native

@@ -27,6 +27,16 @@ only the (N, emb) embeddings. Matches the XLA path to ~1e-4 (floating-point
 reassociation only); verified in tests/test_pallas_cnn.py, wired as
 ``roi_impl='pallas'`` on the live forward.
 
+Performance status (v5e-1, 8192-frame batch): correct but NOT yet faster than
+XLA's conv lowering (~11.5 ms vs 7.5 ms) — stage ablation
+(``_DEBUG_STOP_AFTER``) shows the cost is Mosaic relayout passes (the
+(R/2,2,L) pool reshape, unaligned 18/80/160-lane patch slices), not MACs
+(which total ~2 ms of MXU time). F_TILE=32 exceeds the 16 MB VMEM scoped
+limit. Treat ``roi_impl='xla'`` as the production path until the relayouts
+are engineered away; this kernel is kept as the correct scaffold + the
+packing scheme (output-packed im2col with pooled-lane zero-weight columns)
+that the next iteration optimizes.
+
 Reference architecture: train_model_official.py:209-229 (TinyROICNN).
 """
 

@@ -8,8 +8,6 @@ on ICI. This is BASELINE config #5 (data-parallel training across chips).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -11,8 +11,6 @@ console lines keep the reference's format (they are the de-facto UX contract).
 from __future__ import annotations
 
 import time
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

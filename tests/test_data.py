@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from silent_speech_tpu.core.schema import (
-    Clip, batch_clips, clip_filename, fix_dim, load_clip,
+    Clip, clip_filename, fix_dim, load_clip,
     parse_filename_label, pad_trim_time, save_clip,
 )
 from silent_speech_tpu.data import (

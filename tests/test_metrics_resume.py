@@ -2,8 +2,6 @@
 
 import json
 
-import numpy as np
-
 from silent_speech_tpu.core.config import TrainConfig
 from silent_speech_tpu.data.synthetic import generate_corpus
 from silent_speech_tpu.train import train

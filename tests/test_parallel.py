@@ -4,7 +4,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from silent_speech_tpu.data.augment import OFFICIAL_AUGMENT
 from silent_speech_tpu.models import bigru as model
@@ -15,7 +15,7 @@ from silent_speech_tpu.parallel import (
     make_sharded_train_step,
     shard_params,
 )
-from silent_speech_tpu.train.step import StepConfig, make_eval_step, make_optimizer
+from silent_speech_tpu.train.step import StepConfig, make_optimizer
 
 
 def _setup(use_roi=True, num_classes=5):
