@@ -14,6 +14,7 @@ Commands:
     infer-gated     openness-gated auto-clip inference (inactive/live_lower_half.py)
     infer-stream    sliding-window streaming (inactive/live_feed.py)
     eval-dataset    offline corpus sweep (inactive/dataset_eval.py)
+    eval-ctc        dictionary-scored CTC corpus sweep
     landmarks-view  landmark index explorer (all_landmarks.py)
     important-landmarks  lower-face selection demo (important_landmarks.py)
     infer-ctc       CTC dictionary live inference (inactive/facial_landmark_detection.py)
@@ -108,6 +109,14 @@ def _dispatch(argv) -> int:
                 if cfg.ckpt_path.endswith(".pt")
                 else Predictor.from_checkpoint(cfg.ckpt_path))
         evaluate_dataset(pred, cfg.clip_dir, batch_size=cfg.batch_size)
+    elif cmd == "eval-ctc":
+        from ..infer.evaluator import evaluate_ctc_dataset
+        extras = dict(x.split("=", 1) for x in kv)
+        if "ckpt_path" not in extras:
+            print("usage: eval-ctc ckpt_path=<path> [clip_dir=clips_npz]")
+            return 2
+        evaluate_ctc_dataset(extras["ckpt_path"],
+                             extras.get("clip_dir", "clips_npz"))
     elif cmd == "landmarks-view":
         from .landmarks_view import main as run
         run()

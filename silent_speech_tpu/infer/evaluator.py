@@ -140,3 +140,48 @@ def evaluate_temporal_cnn(
         print("model d_in:", d_in)
     return dict(accuracy=acc, avg_conf=avg_conf,
                 confusions=cm.most_common(10), n=total)
+
+
+def evaluate_ctc_dataset(
+    ckpt_path: str,
+    clip_dir: str,
+    *,
+    verbose: bool = True,
+) -> dict:
+    """Dictionary-scored CTC sweep over a corpus: accuracy + top confusions.
+
+    The offline counterpart of the CTC trainer's validation loop
+    (inactive/train_model.py:235-251), usable on any saved CTC checkpoint.
+    """
+    import jax
+
+    from ..models import ctc_model
+    from ..train.checkpoint import load_checkpoint
+    from .ctc_decode import CTCDecoder, Dictionary
+
+    params, meta, _ = load_checkpoint(ckpt_path)
+    params = jax.tree.map(jnp.asarray, params)
+    uniq = list(meta["uniq_labels"])
+    dec = CTCDecoder(
+        params, Dictionary.from_words(uniq), max_t=int(meta["max_t"]),
+        len_lambda=float(meta.get("len_lambda", 0.02)),
+        len_per_char=int(meta.get("exp_len", 5)),
+    )
+    index = scan_corpus(clip_dir, verbose=False)
+    correct = total = 0
+    cm: Counter = Counter()
+    for f in index.files:
+        c = load_clip(f).aligned()
+        if c.roi is None:
+            continue
+        pred = dec.predict(c.X, c.roi)
+        true = ctc_model.normalize_label(c.label)
+        pred_n = ctc_model.normalize_label(pred or "")
+        cm[(true, pred_n)] += 1
+        correct += int(pred_n == true)
+        total += 1
+    acc = correct / total if total else 0.0
+    if verbose:
+        print("dataset acc:", acc)
+        print("top confusions:", cm.most_common(10))
+    return dict(accuracy=acc, confusions=cm.most_common(10), n=total)
