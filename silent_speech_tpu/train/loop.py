@@ -104,19 +104,57 @@ def train(
     opt_state = optimizer.init(params)
 
     start_epoch = 1
+    resumed_opt_leaves = None
     if resume_from is not None:
         r_params, r_meta, r_opt_leaves = load_checkpoint(resume_from)
         params = jax.tree.map(jnp.asarray, r_params)
         if r_opt_leaves is not None:
-            treedef = jax.tree.structure(opt_state)
+            resumed_opt_leaves = [jnp.asarray(a) for a in r_opt_leaves]
             opt_state = jax.tree.unflatten(
-                treedef, [jnp.asarray(a) for a in r_opt_leaves]
+                jax.tree.structure(opt_state), resumed_opt_leaves
             )
         start_epoch = int(r_meta.get("epoch", 0)) + 1
         if verbose:
             print(f"Resumed from {resume_from} at epoch {start_epoch}")
 
-    train_step = make_train_step(scfg, optimizer)
+    mesh = None
+    if cfg.mesh_shape:
+        from ..parallel import make_mesh, make_sharded_train_step
+
+        model_axis = int(cfg.mesh_shape.get("model", 1))
+        data_axis = cfg.mesh_shape.get("data")
+        need = (data_axis or 1) * model_axis
+        devices = jax.devices()
+        if len(devices) < need:
+            # fall back to virtual CPU host devices (testing / emulation)
+            devices = jax.devices("cpu")
+        mesh = make_mesh(devices, data=data_axis, model=model_axis)
+        params, opt_state, sharded_step = make_sharded_train_step(
+            scfg, optimizer, mesh, params,
+            tensor_parallel=(model_axis > 1),
+        )
+        if resumed_opt_leaves is not None:
+            # re-apply the resumed optimizer state over the sharded structure
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(opt_state), resumed_opt_leaves
+            )
+        if verbose:
+            print("Sharded training on mesh",
+                  dict(zip(mesh.axis_names, mesh.devices.shape)))
+
+        def train_step(params, opt_state, rng, X_all, len_all, roi_all,
+                       y_all, idx):
+            # sharded path: gather on host side of the step, shard the batch
+            Xb = jnp.take(X_all, idx, axis=0)
+            Lb = jnp.take(len_all, idx, axis=0)
+            Rb = None if roi_all is None else jnp.take(roi_all, idx, axis=0)
+            yb = jnp.take(y_all, idx, axis=0)
+            rng, sub = jax.random.split(rng)
+            params, opt_state, m = sharded_step(
+                params, opt_state, sub, Xb, Lb, Rb, yb)
+            return params, opt_state, rng, m
+    else:
+        train_step = make_train_step(scfg, optimizer)
     eval_step = make_eval_step(scfg)
 
     sampler_rng = np.random.default_rng(cfg.seed)

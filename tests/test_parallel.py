@@ -117,3 +117,23 @@ def test_grad_sync_is_global_mean(cpu_mesh_devices, rng):
         for a, b in zip(jax.tree.leaves(p8), jax.tree.leaves(q8))
     ]
     assert max(diffs) > 1e-6
+
+
+def test_train_loop_with_mesh(tmp_path, cpu_mesh_devices):
+    """TrainConfig.mesh_shape drives the full official loop through the
+    sharded DP step on the virtual mesh."""
+    import jax as _jax
+    from silent_speech_tpu.core.config import TrainConfig
+    from silent_speech_tpu.data.synthetic import generate_corpus
+    from silent_speech_tpu.train import train
+
+    corpus = tmp_path / "c"
+    generate_corpus(str(corpus), clips_per_word=4, words=["yes", "no"], seed=9)
+    with _jax.default_device(cpu_mesh_devices[0]):
+        r = train(TrainConfig(
+            clip_dir=str(corpus), out_path=str(tmp_path / "m.ckpt"),
+            epochs=2, patience=5, batch_size=8, max_t=40,
+            mesh_shape={"data": 8, "model": 1},
+        ), verbose=False)
+    assert len(r["history"]) == 2
+    assert all(np.isfinite(h["train_loss"]) for h in r["history"])
