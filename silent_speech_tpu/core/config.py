@@ -64,6 +64,9 @@ class TrainConfig:
     # TPU-specific knobs (no reference counterpart)
     compute_dtype: str = "float32"  # "bfloat16" for throughput
     mesh_shape: Optional[dict] = None  # e.g. {"data": 4, "model": 2}
+    # keep the corpus in host RAM and ship batches per step instead of
+    # holding the whole padded dataset in HBM (for corpora larger than HBM)
+    host_data: bool = False
 
 
 @dataclasses.dataclass

@@ -43,8 +43,19 @@ class DeviceDataset:
     def max_t(self) -> int:
         return int(self.X.shape[1])
 
-    def gather(self, idx: jax.Array):
-        """Batch gather; runs on device when arrays are device-resident."""
+    def gather(self, idx):
+        """Batch gather: on device for device-resident arrays; for a
+        host-resident corpus the index happens in numpy so only the batch
+        crosses to the device."""
+        if isinstance(self.X, np.ndarray):
+            i = np.asarray(idx)
+            roi = None if self.roi is None else jnp.asarray(self.roi[i])
+            return (
+                jnp.asarray(self.X[i]),
+                jnp.asarray(self.lengths[i]),
+                roi,
+                jnp.asarray(self.y[i]),
+            )
         roi = None if self.roi is None else jnp.take(self.roi, idx, axis=0)
         return (
             jnp.take(self.X, idx, axis=0),

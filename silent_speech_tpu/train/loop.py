@@ -70,11 +70,11 @@ def train(
 
     train_ds = build_device_dataset(
         train_files, label_to_id, cfg.max_t, use_roi, x_dim,
-        roi_hw=(cfg.roi_h, cfg.roi_w),
+        roi_hw=(cfg.roi_h, cfg.roi_w), device=not cfg.host_data,
     )
     val_ds = build_device_dataset(
         val_files, label_to_id, cfg.max_t, use_roi, x_dim,
-        roi_hw=(cfg.roi_h, cfg.roi_w),
+        roi_hw=(cfg.roi_h, cfg.roi_w), device=not cfg.host_data,
     )
     weights = inverse_frequency_weights(train_ds.labels)
 
@@ -153,6 +153,21 @@ def train(
             params, opt_state, m = sharded_step(
                 params, opt_state, sub, Xb, Lb, Rb, yb)
             return params, opt_state, rng, m
+    elif cfg.host_data:
+        from .step import make_batch_train_step
+
+        batch_step = make_batch_train_step(scfg, optimizer)
+
+        def train_step(params, opt_state, rng, X_all, len_all, roi_all,
+                       y_all, idx):
+            # host-resident corpus: numpy-gather the batch, ship only it
+            i = np.asarray(idx)
+            return batch_step(
+                params, opt_state, rng,
+                jnp.asarray(X_all[i]), jnp.asarray(len_all[i]),
+                None if roi_all is None else jnp.asarray(roi_all[i]),
+                jnp.asarray(y_all[i]),
+            )
     else:
         train_step = make_train_step(scfg, optimizer)
     eval_step = make_eval_step(scfg)

@@ -44,10 +44,7 @@ class StepConfig:
     compute_dtype: str = "float32"
 
 
-def make_train_step(scfg: StepConfig, optimizer):
-    """Returns jitted step(params, opt_state, rng, data_arrays, idx)."""
-    dtype = jnp.bfloat16 if scfg.compute_dtype == "bfloat16" else jnp.float32
-
+def _make_loss_fn(scfg: StepConfig, dtype):
     def loss_fn(params, X, lengths, roi, y, rng):
         logits = model.train_forward(
             params, scfg.model, X, lengths, roi, train=True, rng=rng,
@@ -59,12 +56,44 @@ def make_train_step(scfg: StepConfig, optimizer):
         acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
         return loss, acc
 
+    return loss_fn
+
+
+def make_train_step(scfg: StepConfig, optimizer):
+    """Returns jitted step(params, opt_state, rng, data_arrays, idx) — the
+    HBM-resident-dataset path: the batch gather happens on device inside the
+    program."""
+    dtype = jnp.bfloat16 if scfg.compute_dtype == "bfloat16" else jnp.float32
+    loss_fn = _make_loss_fn(scfg, dtype)
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, rng, X_all, len_all, roi_all, y_all, idx):
         X = jnp.take(X_all, idx, axis=0)
         lengths = jnp.take(len_all, idx, axis=0)
         roi = None if roi_all is None else jnp.take(roi_all, idx, axis=0)
         y = jnp.take(y_all, idx, axis=0)
+        rng, aug_rng, drop_rng = jax.random.split(rng, 3)
+        if scfg.augment is not None:
+            X, lengths = augment_batch(aug_rng, X, lengths, scfg.augment)
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, X, lengths, roi, y, drop_rng
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, rng, {"loss": loss, "acc": acc}
+
+    return step
+
+
+def make_batch_train_step(scfg: StepConfig, optimizer):
+    """Returns jitted step(params, opt_state, rng, X, lengths, roi, y) on
+    pre-gathered batches — the host-resident-dataset path (only the batch
+    crosses PCIe per step)."""
+    dtype = jnp.bfloat16 if scfg.compute_dtype == "bfloat16" else jnp.float32
+    loss_fn = _make_loss_fn(scfg, dtype)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, rng, X, lengths, roi, y):
         rng, aug_rng, drop_rng = jax.random.split(rng, 3)
         if scfg.augment is not None:
             X, lengths = augment_batch(aug_rng, X, lengths, scfg.augment)

@@ -85,3 +85,16 @@ def test_checkpoint_roundtrip_with_opt_state(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     for a, b in zip(leaves, opt_leaves):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_train_host_data_path(tmp_path):
+    """host_data=True: corpus stays in host RAM, batches ship per step."""
+    corpus = tmp_path / "hc"
+    generate_corpus(str(corpus), clips_per_word=4, words=["yes", "no"], seed=8)
+    cfg = TrainConfig(
+        clip_dir=str(corpus), out_path=str(tmp_path / "hm.ckpt"),
+        epochs=2, patience=5, batch_size=4, max_t=40, host_data=True,
+    )
+    r = train(cfg, verbose=False)
+    assert len(r["history"]) == 2
+    assert (tmp_path / "hm.ckpt").exists()
