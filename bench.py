@@ -44,7 +44,8 @@ def main():
     def loop_fwd(params, X, lengths, roi, iters):
         def body(carry, _):
             Xc, Rc = carry
-            logits = model.live_forward(params, mcfg, Xc, lengths, Rc)
+            logits = model.live_forward(params, mcfg, Xc, lengths, Rc,
+                                        roi_impl="grouped")
             # runtime-zero feedback: keeps every iteration live and distinct
             eps = logits[0, 0] * 1e-30
             Xc = Xc + eps

@@ -175,6 +175,14 @@ def forward(
                 roi.reshape(B * T, *roi.shape[2:]), roi_packed,
                 standardize=roi_standardize,
             ).reshape(B, T, -1).astype(compute_dtype)
+        elif roi_impl == "grouped":
+            from ..ops.grouped_cnn import roi_cnn_grouped
+
+            B, T = roi.shape[:2]
+            r = preprocess_roi(roi, roi_standardize).astype(compute_dtype)
+            roi_e = roi_cnn_grouped(
+                params["roi_cnn"], r.reshape(B * T, *r.shape[2:])
+            ).reshape(B, T, -1).astype(compute_dtype)
         else:
             r = preprocess_roi(roi, roi_standardize).astype(compute_dtype)
             roi_e = roi_cnn_forward(params["roi_cnn"], r)
