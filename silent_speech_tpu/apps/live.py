@@ -161,7 +161,7 @@ def infer_gated(cfg: InferConfig = InferConfig(),
                 state = "SPEAKING" if gate.speaking else "idle"
                 cv2.putText(out, f"open={openness:.3f} [{state}]", (20, 70),
                             cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 0), 2)
-                if ev is not None and len(ev.frames) >= cfg.min_frames:
+                if ev is not None and len(ev.frames) > cfg.min_frames:
                     last_top3 = predictor.predict_arrays(ev.frames, ev.rois, k=3)
                     hold = stream_cfg.hold_frames
                     print("Top3:", last_top3)

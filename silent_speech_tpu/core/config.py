@@ -140,8 +140,38 @@ class EvalConfig:
     top_confusions: int = 10
 
 
+def _parse_dict_override(raw: str) -> dict:
+    """Accept JSON ('{"data": 4, "model": 2}') or compact 'data:4,model:2'."""
+    import json
+
+    try:
+        val = json.loads(raw)
+        if not isinstance(val, dict):
+            raise ValueError(f"expected a dict, got {type(val).__name__}")
+        return val
+    except json.JSONDecodeError:
+        out = {}
+        for part in raw.split(","):
+            if ":" not in part:
+                raise ValueError(
+                    f"dict override must be JSON or k:v[,k:v...], got {raw!r}"
+                )
+            k, v = part.split(":", 1)
+            out[k.strip()] = int(v)
+        return out
+
+
 def apply_overrides(cfg, overrides: Sequence[str]):
-    """Apply ``key=value`` CLI overrides to a config dataclass in place."""
+    """Apply ``key=value`` CLI overrides to a config dataclass in place.
+
+    Dict-typed fields (e.g. ``mesh_shape``) accept JSON or ``k:v,k:v``
+    (``mesh_shape=data:4,model:2``)."""
+    import dataclasses as _dc
+
+    dict_fields = {
+        f.name for f in _dc.fields(cfg)
+        if f.type in ("Optional[dict]", "dict") or isinstance(f.default, dict)
+    }
     for item in overrides:
         if "=" not in item:
             raise ValueError(f"override must be key=value, got {item!r}")
@@ -149,7 +179,9 @@ def apply_overrides(cfg, overrides: Sequence[str]):
         if not hasattr(cfg, key):
             raise AttributeError(f"{type(cfg).__name__} has no field {key!r}")
         cur = getattr(cfg, key)
-        if isinstance(cur, bool):
+        if key in dict_fields or isinstance(cur, dict):
+            val = _parse_dict_override(raw)
+        elif isinstance(cur, bool):
             val = raw.lower() in ("1", "true", "yes", "on")
         elif isinstance(cur, int):
             val = int(raw)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.schema import batch_clips, fix_dim
+from ..core.schema import batch_clips, fix_dim, parse_filename_label
 from .corpus import load_clips
 
 
@@ -76,8 +76,8 @@ def build_device_dataset(
     prefer_native: bool = True,
 ) -> DeviceDataset:
     """Load, pad and stack a clip list. Uses the native parallel npz loader
-    (csrc/npz_loader.cpp) for the array payloads when available; labels are
-    read via lazy npz entry access either way."""
+    (csrc/npz_loader.cpp) for the array payloads when available; labels come
+    from the filename convention with an npz fallback."""
     put = jnp.asarray if device else np.asarray
     if prefer_native and x_dim is not None:
         from ..runtime import native
@@ -87,10 +87,18 @@ def build_device_dataset(
             X, roi, lengths, _ = load_corpus_arrays(
                 files, max_t, x_dim, use_roi, roi_hw
             )
+            # labels: known ids resolve from the filename convention without
+            # reopening archives; anything unparseable falls back to np.load
             labels = []
             for f in files:
-                with np.load(f, allow_pickle=True) as d:
-                    labels.append(str(d["label"]))
+                try:
+                    lab = parse_filename_label(f)
+                except ValueError:
+                    lab = None
+                if lab is None or lab not in label_to_id:
+                    with np.load(f, allow_pickle=True) as d:
+                        lab = str(d["label"])
+                labels.append(lab)
             return DeviceDataset(
                 X=put(X),
                 lengths=put(lengths),
@@ -120,13 +128,16 @@ def epoch_batches(
     weights: Optional[np.ndarray] = None,
     shuffle: bool = True,
     drop_last: bool = False,
+    pad: bool = True,
 ) -> Iterator[np.ndarray]:
     """Yield index arrays for one epoch.
 
     With ``weights``, samples n indices with replacement (the reference's
     WeightedRandomSampler); otherwise a shuffled (or sequential) permutation.
-    The final short batch is padded by wrapping (so jit sees one batch shape)
-    unless drop_last.
+    With ``pad`` (default), the final short batch is padded by wrapping so
+    jit sees one batch shape — fine for weighted training, but evaluation
+    must use ``pad=False`` (a wrapped sample would be double-counted in the
+    metrics); the short final batch then costs one extra compile.
     """
     if weights is not None:
         p = weights / weights.sum()
@@ -140,9 +151,10 @@ def epoch_batches(
         if len(chunk) < batch_size:
             if drop_last:
                 return
-            pad = order[: batch_size - len(chunk)]
-            if len(pad) < batch_size - len(chunk):  # tiny corpus: wrap more
-                reps = -(-(batch_size - len(chunk)) // max(1, len(order)))
-                pad = np.tile(order, reps)[: batch_size - len(chunk)]
-            chunk = np.concatenate([chunk, pad])
+            if pad:
+                padding = order[: batch_size - len(chunk)]
+                if len(padding) < batch_size - len(chunk):  # tiny corpus
+                    reps = -(-(batch_size - len(chunk)) // max(1, len(order)))
+                    padding = np.tile(order, reps)[: batch_size - len(chunk)]
+                chunk = np.concatenate([chunk, padding])
         yield chunk.astype(np.int32)

@@ -25,13 +25,15 @@ class VariantPredictor:
 
     def __init__(self, forward: Callable, id_to_label: dict[int, str],
                  d_in: int, max_t: int, *,
-                 zscore: bool = False, add_deltas: bool = False):
+                 zscore: bool = False, add_deltas: bool = False,
+                 trim: Optional[dict] = None):
         self._fwd = jax.jit(forward)
         self.id_to_label = id_to_label
         self.d_in = d_in
         self.max_t = max_t
         self.zscore = zscore
         self.add_deltas = add_deltas
+        self.trim = trim  # activity-trim config (unigru family)
 
     @classmethod
     def from_checkpoint(cls, path: str) -> "VariantPredictor":
@@ -46,7 +48,8 @@ class VariantPredictor:
             i2l = {int(k): v for k, v in meta["id_to_word"].items()}
             return cls(fwd, i2l, int(meta["d_target"]),
                        int(meta["t_target"]),
-                       zscore=True, add_deltas=bool(meta.get("use_deltas")))
+                       zscore=True, add_deltas=bool(meta.get("use_deltas")),
+                       trim=dict(meta.get("trim", {})))
         if model == "summary_mlp":
             def fwd(X):  # X: (B, T, D) -> summary -> logits
                 return V.mlp_forward(params, V.clip_to_summary(X))
@@ -71,9 +74,23 @@ class VariantPredictor:
         return cls(fwd, i2l, d_in, 10 ** 6, zscore=True)
 
     def predict_features(self, X: np.ndarray, k: int = 3):
-        """X: (T, D_any) -> top-k (word, prob). Applies the family's
-        preprocessing (fix_dim, optional z-score/deltas, pad/trim)."""
+        """X: (T, D_any) -> top-k (word, prob). Applies the family's exact
+        training-time preprocessing: fix_dim, then (unigru) activity trim to
+        the target window, then z-score over the padded window, deltas, and a
+        second z-score — the same order as the trainer
+        (train/legacy_loops._unigru_preprocess)."""
         X = fix_dim(np.asarray(X, np.float32), self.d_in)
+        if self.trim is not None and self.max_t < 10 ** 6:
+            from ..train.legacy_loops import trim_by_activity
+
+            X = trim_by_activity(
+                X, self.max_t,
+                margin=int(self.trim.get("margin", 2)),
+                q=float(self.trim.get("q", 0.60)),
+                min_keep=int(self.trim.get("min_keep", 6)),
+            )
+        elif self.max_t < 10 ** 6:
+            X, _ = pad_trim_time(X, self.max_t)
         if self.zscore:
             X = (X - X.mean(0, keepdims=True)) / (X.std(0, keepdims=True) + 1e-6)
         if self.add_deltas:
@@ -81,7 +98,5 @@ class VariantPredictor:
             d[1:] = X[1:] - X[:-1]
             X = np.concatenate([X, d], axis=1)
             X = (X - X.mean(0, keepdims=True)) / (X.std(0, keepdims=True) + 1e-6)
-        if self.max_t < 10 ** 6:
-            X, _ = pad_trim_time(X, self.max_t)
         logits = np.asarray(self._fwd(jnp.asarray(X[None])))[0]
         return topk_from_logits(logits, self.id_to_label, k)

@@ -190,7 +190,10 @@ def forward(
     else:
         Z = X
 
-    if train and rng is not None:
+    if train:
+        if rng is None:
+            raise ValueError("rng is required for the training forward "
+                             "(GRU/head dropout)")
         rng, gru_rng, head_rng = jax.random.split(rng, 3)
     else:
         gru_rng = head_rng = None

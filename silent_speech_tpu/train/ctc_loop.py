@@ -108,7 +108,13 @@ def train_ctc(cfg: CTCTrainConfig, verbose: bool = True) -> dict:
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, rng, X, R, L, y, ylen):
-        rng, sub = jax.random.split(rng)
+        rng, sub, k_gate, k_noise = jax.random.split(rng, 4)
+        # per-clip gaussian feature noise, p=0.6 sigma=0.01 on valid frames
+        # (inactive/train_model.py:77-80)
+        apply = jax.random.bernoulli(k_gate, 0.6, (X.shape[0], 1, 1))
+        valid = (jnp.arange(X.shape[1])[None, :, None] < L[:, None, None])
+        noise = jax.random.normal(k_noise, X.shape, X.dtype) * 0.01
+        X = jnp.where(apply & valid, X + noise, X)
         loss, grads = jax.value_and_grad(loss_fn)(params, X, R, L, y, ylen, sub)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -132,7 +138,7 @@ def train_ctc(cfg: CTCTrainConfig, verbose: bool = True) -> dict:
     n = len(Xtr)
     sampler = np.random.default_rng(cfg.seed)
     best, bad = 0.0, 0
-    best_params = params
+    best_params = jax.tree.map(np.asarray, params)
     meta = dict(
         x_dim=x_dim, max_t=cfg.max_t, vocab=ctc_model.VOCAB,
         blank_id=ctc_model.BLANK_ID, label_to_text=label_to_text,
@@ -145,7 +151,7 @@ def train_ctc(cfg: CTCTrainConfig, verbose: bool = True) -> dict:
         order = sampler.permutation(n)
         ep_loss = 0.0
         nb = 0
-        for s in range(0, n - cfg.batch_size + 1, cfg.batch_size):
+        for s in range(0, n, cfg.batch_size):
             idx = order[s : s + cfg.batch_size]
             params, opt_state, key, loss = train_step(
                 params, opt_state, key,

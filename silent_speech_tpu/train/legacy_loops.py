@@ -131,7 +131,7 @@ def train_reduced(cfg: ReducedConfig = ReducedConfig(), verbose=True) -> dict:
 
     fwd = jax.jit(V.reduced_bigru_forward)
     sampler = np.random.default_rng(cfg.seed)
-    best, best_params = 0.0, params
+    best, best_params = 0.0, jax.tree.map(np.asarray, params)
     lr_now, bad_plateau = cfg.lr, 0
     meta = dict(x_dim=d_in, max_t=cfg.max_t, labels=sorted(label_to_id),
                 label_to_id=label_to_id,
@@ -141,7 +141,7 @@ def train_reduced(cfg: ReducedConfig = ReducedConfig(), verbose=True) -> dict:
     for ep in range(1, cfg.epochs + 1):
         order = sampler.permutation(len(Xtr))
         ep_loss, nb = 0.0, 0
-        for s in range(0, len(Xtr) - cfg.batch_size + 1, cfg.batch_size):
+        for s in range(0, len(Xtr), cfg.batch_size):
             idx = order[s:s + cfg.batch_size]
             params, opt_state, key, loss = step(
                 params, opt_state, key, jnp.asarray(Xtr[idx]),
@@ -268,7 +268,7 @@ def train_unigru(cfg: UniGRUConfig = UniGRUConfig(), verbose=True) -> dict:
         return optax.apply_updates(params, updates), opt_state, rng, loss
 
     fwd = jax.jit(lambda p, X: V.unigru_classifier_forward(p, X))
-    best, best_params = 0.0, params
+    best, best_params = 0.0, jax.tree.map(np.asarray, params)
     meta = dict(d_in=d_in, num_classes=num_classes,
                 word_to_id=label_to_id,
                 id_to_word={str(k): v for k, v in id_to_label.items()},
@@ -282,7 +282,7 @@ def train_unigru(cfg: UniGRUConfig = UniGRUConfig(), verbose=True) -> dict:
     for ep in range(1, cfg.epochs + 1):
         order = sampler.permutation(len(Xtr))
         ep_loss, nb = 0.0, 0
-        for s in range(0, len(Xtr) - cfg.batch_size + 1, cfg.batch_size):
+        for s in range(0, len(Xtr), cfg.batch_size):
             idx = order[s:s + cfg.batch_size]
             params, opt_state, key, loss = step(
                 params, opt_state, key, jnp.asarray(Xtr[idx]),
@@ -358,7 +358,7 @@ def train_mlp_quick(cfg: MLPQuickConfig = MLPQuickConfig(), verbose=True) -> dic
         return optax.apply_updates(params, updates), opt_state, rng, loss
 
     fwd = jax.jit(lambda p, X: V.mlp_forward(p, X))
-    best, best_params = 0.0, params
+    best, best_params = 0.0, jax.tree.map(np.asarray, params)
     meta = dict(in_dim=in_dim, labels=sorted(label_to_id),
                 label_to_id=label_to_id,
                 id_to_label={str(k): v for k, v in id_to_label.items()},
@@ -366,7 +366,7 @@ def train_mlp_quick(cfg: MLPQuickConfig = MLPQuickConfig(), verbose=True) -> dic
     sampler = np.random.default_rng(cfg.seed)
     for ep in range(1, cfg.epochs + 1):
         order = sampler.permutation(len(Xtr))
-        for s in range(0, len(Xtr) - cfg.batch_size + 1, cfg.batch_size):
+        for s in range(0, len(Xtr), cfg.batch_size):
             idx = order[s:s + cfg.batch_size]
             params, opt_state, key, _ = step(
                 params, opt_state, key, jnp.asarray(Xtr[idx]),

@@ -144,11 +144,16 @@ def train(
 
         def train_step(params, opt_state, rng, X_all, len_all, roi_all,
                        y_all, idx):
-            # sharded path: gather on host side of the step, shard the batch
-            Xb = jnp.take(X_all, idx, axis=0)
-            Lb = jnp.take(len_all, idx, axis=0)
-            Rb = None if roi_all is None else jnp.take(roi_all, idx, axis=0)
-            yb = jnp.take(y_all, idx, axis=0)
+            if isinstance(X_all, np.ndarray):
+                # host-resident corpus: numpy-gather so only the batch ships
+                i = np.asarray(idx)
+                Xb, Lb, yb = X_all[i], len_all[i], y_all[i]
+                Rb = None if roi_all is None else roi_all[i]
+            else:
+                Xb = jnp.take(X_all, idx, axis=0)
+                Lb = jnp.take(len_all, idx, axis=0)
+                Rb = None if roi_all is None else jnp.take(roi_all, idx, axis=0)
+                yb = jnp.take(y_all, idx, axis=0)
             rng, sub = jax.random.split(rng)
             params, opt_state, m = sharded_step(
                 params, opt_state, sub, Xb, Lb, Rb, yb)
@@ -181,7 +186,9 @@ def train(
     )
 
     best_acc, bad = 0.0, 0
-    best_params = params
+    # host copy: the jitted step donates the live params buffers, so an alias
+    # would dangle if no epoch ever improves val accuracy
+    best_params = jax.tree.map(np.asarray, params)
     history = []
     step_rng = key
     mlog = MetricsLogger(metrics_path)
@@ -210,7 +217,7 @@ def train(
         va_loss = va_acc = va_n = 0.0
         y_true_all, y_pred_all = [], []
         for idx in epoch_batches(
-            val_ds.n, cfg.batch_size, sampler_rng, shuffle=False, drop_last=False
+            val_ds.n, cfg.batch_size, sampler_rng, shuffle=False, pad=False
         ):
             Xb, Lb, Rb, yb = val_ds.gather(jnp.asarray(idx))
             m = eval_step(params, Xb, Lb, Rb, yb)
