@@ -19,6 +19,7 @@ Commands:
     important-landmarks  lower-face selection demo (important_landmarks.py)
     infer-ctc       CTC dictionary live inference (inactive/facial_landmark_detection.py)
     debug-npz       corpus keys/shapes debugger (inactive/debug.py)
+    export-torch    convert our checkpoint to a reference-consumable .pt
     status          collection-progress dashboard (record_training_data --status)
     bench           single-chip throughput benchmark
 
@@ -130,6 +131,16 @@ def _dispatch(argv) -> int:
             print("usage: infer-ctc ckpt_path=<path> [cam_index=N]")
             return 2
         infer_ctc(extras["ckpt_path"], cam_index=int(extras.get("cam_index", 0)))
+    elif cmd == "export-torch":
+        extras = dict(x.split("=", 1) for x in kv)
+        if "ckpt_path" not in extras or "out_path" not in extras:
+            print("usage: export-torch ckpt_path=<ours.ckpt> out_path=<ref.pt>")
+            return 2
+        from ..core.torch_export import export_reference_checkpoint
+        from ..train.checkpoint import load_checkpoint
+        params, meta, _ = load_checkpoint(extras["ckpt_path"])
+        export_reference_checkpoint(params, meta, extras["out_path"])
+        print("wrote", extras["out_path"])
     elif cmd == "debug-npz":
         from .debug_npz import main as run
         extras = dict(x.split("=", 1) for x in kv)
