@@ -10,6 +10,7 @@ console lines keep the reference's format (they are the de-facto UX contract).
 
 from __future__ import annotations
 
+import dataclasses
 import time
 import jax
 import jax.numpy as jnp
@@ -93,7 +94,15 @@ def train(
     scfg = StepConfig(
         model=mcfg,
         label_smoothing=cfg.label_smoothing,
-        augment=OFFICIAL_AUGMENT,
+        # augmentation driven by the config fields (defaults = the official
+        # recipe, train_model_official.py:41-43,144-152)
+        augment=dataclasses.replace(
+            OFFICIAL_AUGMENT,
+            noise_prob=cfg.noise_prob,
+            noise_std=cfg.noise_std,
+            drop_prob=cfg.drop_frames_prob,
+            drop_max=cfg.drop_frames_max,
+        ),
         compute_dtype=cfg.compute_dtype,
     )
 
