@@ -32,10 +32,13 @@ XLA's conv lowering (~11.5 ms vs 7.5 ms) — stage ablation
 (``_DEBUG_STOP_AFTER``) shows the cost is Mosaic relayout passes (the
 (R/2,2,L) pool reshape, unaligned 18/80/160-lane patch slices), not MACs
 (which total ~2 ms of MXU time). F_TILE=32 exceeds the 16 MB VMEM scoped
-limit. Treat ``roi_impl='xla'`` as the production path until the relayouts
-are engineered away; this kernel is kept as the correct scaffold + the
-packing scheme (output-packed im2col with pooled-lane zero-weight columns)
-that the next iteration optimizes.
+limit. Also tried: building patches with lane ROLLS + aligned full-width
+copies into block-padded K rows (zero-weight overhang) — measured the same
+(rolls cost what the masked copies cost; the pools' (R/2,2,L) reshape-max
+still adds ~3.7 ms). Treat ``roi_impl='xla'`` (or the bitwise-equal
+``roi_impl='grouped'``) as the production path; this kernel is kept as the
+correct scaffold + packing scheme for a future iteration with a real
+profiler.
 
 Reference architecture: train_model_official.py:209-229 (TinyROICNN).
 """
