@@ -48,3 +48,26 @@ __all__ = [
     "ctc_word_logprob",
     "ctc_word_logprobs_batch",
 ]
+
+from .grouped_cnn import roi_cnn_grouped  # noqa: E402
+from .pallas_gru import bigru_pallas, gru_layer_pallas, gru_sequence_pallas  # noqa: E402
+from .pallas_cnn import pack_roi_cnn_params, roi_cnn_pallas  # noqa: E402
+from .gru import unidirectional_gru_chunked  # noqa: E402
+from .features import (  # noqa: E402
+    mouth83_features_batched,
+    polygon_area,
+    v3_features_batched,
+)
+
+__all__ += [
+    "roi_cnn_grouped",
+    "bigru_pallas",
+    "gru_layer_pallas",
+    "gru_sequence_pallas",
+    "pack_roi_cnn_params",
+    "roi_cnn_pallas",
+    "unidirectional_gru_chunked",
+    "mouth83_features_batched",
+    "polygon_area",
+    "v3_features_batched",
+]
