@@ -1,0 +1,83 @@
+"""Edge-case robustness: corrupt inputs, short clips, legacy eval paths."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import jax
+
+from silent_speech_tpu.core.schema import load_clip
+from silent_speech_tpu.data.native_loader import load_corpus_arrays
+from silent_speech_tpu.data.synthetic import generate_corpus
+from silent_speech_tpu.infer import Predictor, evaluate_temporal_cnn
+from silent_speech_tpu.models import bigru as model
+from silent_speech_tpu.runtime import native
+from silent_speech_tpu.train.checkpoint import reference_meta, save_checkpoint
+
+
+def test_load_clip_rejects_garbage(tmp_path):
+    bad = tmp_path / "me_yes_1_0000.npz"
+    bad.write_bytes(b"this is not a zip file")
+    with pytest.raises(Exception):
+        load_clip(str(bad))
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_loader_reports_corrupt_files(tmp_path):
+    generate_corpus(str(tmp_path), clips_per_word=2, words=["yes"], seed=1)
+    bad = tmp_path / "me_no_1_0099.npz"
+    bad.write_bytes(b"\x00" * 64)
+    import glob
+
+    files = sorted(glob.glob(str(tmp_path / "*.npz")))
+    with pytest.raises(IOError, match="native loader failed"):
+        load_corpus_arrays(files, 40, 180, False)
+
+
+def test_predictor_rejects_short_clip(tmp_path, rng):
+    cfg = model.BiGRUConfig(x_dim=180, num_classes=3, use_roi=False,
+                            hidden=8, gru_layers=1)
+    params = model.init_params(jax.random.PRNGKey(0), cfg)
+    labels = ["a", "b", "c"]
+    meta = reference_meta(
+        x_dim=180, max_t=90, use_roi=False, roi_w=96, roi_h=48,
+        labels=labels, label_to_id={l: i for i, l in enumerate(labels)},
+        id_to_label={i: l for i, l in enumerate(labels)}, seed=0,
+        gru_layers=1)
+    path = str(tmp_path / "m.ckpt")
+    save_checkpoint(path, jax.tree.map(np.asarray, params), meta)
+    pred = Predictor.from_checkpoint(path)
+    # the reference rejects clips with < 5 frames (live_infer_official.py:341)
+    with pytest.raises(ValueError, match="too short"):
+        pred.predict_arrays(rng.standard_normal((3, 180)).astype(np.float32),
+                            None)
+
+
+def test_evaluate_temporal_cnn_legacy_path(tmp_path, rng):
+    """The dataset_eval.py-semantics sweep: filename labels, fix_dim, z-score."""
+
+    class TorchTemporalCNN(nn.Module):
+        def __init__(self, d_in, num_classes):
+            super().__init__()
+            self.net = nn.Sequential(
+                nn.Conv1d(d_in, 128, 5, padding=2), nn.ReLU(),
+                nn.Conv1d(128, 128, 5, padding=2), nn.ReLU(),
+                nn.AdaptiveAvgPool1d(1))
+            self.head = nn.Linear(128, num_classes)
+
+        def forward(self, x):
+            return self.head(self.net(x.transpose(1, 2)).squeeze(-1))
+
+    corpus = tmp_path / "c"
+    generate_corpus(str(corpus), clips_per_word=2, words=["yes", "no"],
+                    seed=2, with_roi=False)
+    torch.manual_seed(0)
+    tm = TorchTemporalCNN(100, 2).eval()  # d_in 100 != corpus 180: fix_dim path
+    from silent_speech_tpu.core.torch_import import import_temporal_cnn
+
+    params = import_temporal_cnn(tm.state_dict())
+    out = evaluate_temporal_cnn(params, 100, {0: "yes", 1: "no"},
+                                str(corpus), verbose=False)
+    assert out["n"] == 4 and 0.0 <= out["accuracy"] <= 1.0
+    assert 0.0 <= out["avg_conf"] <= 1.0
