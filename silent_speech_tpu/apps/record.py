@@ -13,9 +13,10 @@ import time
 import numpy as np
 
 from ..core import RecorderConfig, WORDS
+from ..core.landmark_select import compute_selected_indices
 from ..core.landmarks import FIXED_IDXS
 from ..core.schema import Clip, clip_filename, save_clip
-from ..ops.features import extract_features_frame
+from ..ops.features import extract_features_frame, span_norm_feature_frame
 from ..ops.roi import crop_resize_gray_batched
 from ..runtime.capture import (
     CameraSource,
@@ -54,6 +55,8 @@ def main(cfg: RecorderConfig = RecorderConfig(), model_path: str = "models/face_
     clip_id = 0
     from ..core.landmark_select import EMA
     roi_ema = EMA(cfg.roi_ema_alpha) if cfg.roi_ema_alpha > 0 else None
+    dynamic = cfg.idxs_mode == "dynamic"
+    sel_idxs = None  # dynamic selection locks on the first in-range frame
 
     try:
         for frame, ts in cam.frames():
@@ -61,9 +64,24 @@ def main(cfg: RecorderConfig = RecorderConfig(), model_path: str = "models/face_
             out = frame.copy()
             if face is not None:
                 h, w = frame.shape[:2]
-                feat, xy_n, center, mw = extract_features_frame(face, w, h, prev_xy)
-                in_range = cfg.mouth_w_min_px <= mw <= cfg.mouth_w_max_px
-                if recording and in_range:
+                if dynamic:
+                    # per-clip lower-face selection + span-norm features
+                    # (inactive/lower_face_record.py semantics)
+                    mw = float(np.linalg.norm(
+                        (face[291, :2] - face[61, :2]) * [w, h]))
+                    in_range = cfg.mouth_w_min_px <= mw <= cfg.mouth_w_max_px
+                    if in_range and sel_idxs is None:
+                        sel_idxs = compute_selected_indices(face[:, :2])
+                    if sel_idxs is not None:
+                        feat, xy_n, center, _ = span_norm_feature_frame(
+                            face, w, h, sel_idxs, prev_xy)
+                    else:
+                        feat = xy_n = center = None
+                else:
+                    feat, xy_n, center, mw = extract_features_frame(
+                        face, w, h, prev_xy)
+                    in_range = cfg.mouth_w_min_px <= mw <= cfg.mouth_w_max_px
+                if recording and in_range and feat is not None:
                     prev_xy = xy_n
                     bufX.append(feat)
                     bufT.append(ts)
@@ -77,7 +95,10 @@ def main(cfg: RecorderConfig = RecorderConfig(), model_path: str = "models/face_
                 else:
                     prev_xy = None
                 if cfg.draw_points:
-                    draw_landmark_points(out, face, FIXED_IDXS)
+                    draw_landmark_points(
+                        out, face,
+                        sel_idxs if dynamic and sel_idxs is not None
+                        else FIXED_IDXS)
                 cv2.putText(out, f"mouth_w={mw:.1f}px", (20, 140),
                             cv2.FONT_HERSHEY_SIMPLEX, 0.6,
                             (0, 255, 0) if in_range else (0, 0, 255), 2)
@@ -97,13 +118,16 @@ def main(cfg: RecorderConfig = RecorderConfig(), model_path: str = "models/face_
                 if recording:
                     bufX, bufT, bufR = [], [], []
                     prev_xy = None
+                    sel_idxs = None
                 elif len(bufX) > cfg.min_frames:
                     clip = Clip(
                         X=np.stack(bufX).astype(np.float32),
                         ts=np.asarray(bufT),
                         label=label,
                         speaker=cfg.speaker,
-                        idxs=np.asarray(FIXED_IDXS, np.int32),
+                        idxs=np.asarray(
+                            sel_idxs if dynamic and sel_idxs is not None
+                            else FIXED_IDXS, np.int32),
                         roi=np.stack(bufR) if cfg.save_roi and bufR else None,
                     )
                     fname = clip_filename(cfg.speaker, label, int(time.time()), clip_id)

@@ -29,6 +29,10 @@ class RecorderConfig:
     # EMA stabilization of the ROI center/scale, 0 = off
     # (inactive/record_landmarks_v2.py:70-73,231-242)
     roi_ema_alpha: float = 0.0
+    # landmark selection: "fixed" = the official 88-point set; "dynamic" =
+    # per-clip lower-face selection locked on the first in-range frame
+    # (inactive/lower_face_record.py:66-85, span-norm features)
+    idxs_mode: str = "fixed"
 
 
 @dataclasses.dataclass

@@ -213,18 +213,20 @@ def mouth83_features_batched(
     ).astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("frame_w", "frame_h"))
-def v3_features_batched(
+def span_norm_features_batched(
     landmarks: jnp.ndarray,
+    idxs: jnp.ndarray,
     frame_w: int,
     frame_h: int,
     valid: Optional[jnp.ndarray] = None,
 ):
-    """Recorder-v3 177-D features (inactive/record_landmarks_v3.py:56-68):
-    the 88 fixed points centered and normalized by the *subset x-span*
-    (not mouth width), plus a single velocity scalar. Returns (B, T, 177)."""
+    """Subset-span-normalized features over an arbitrary landmark selection:
+    the shared formula of recorder v3 (fixed 88 points,
+    inactive/record_landmarks_v3.py:56-68) and the dynamic lower-face
+    recorders (per-clip selections, inactive/lower_face_record.py:86-108):
+    centered xy / x-span + one velocity scalar. Returns (B, T, 2K+1)."""
     lm_px = landmarks[..., :2] * jnp.asarray([frame_w, frame_h], landmarks.dtype)
-    xy = jnp.take(lm_px, jnp.asarray(_FIXED), axis=-2)
+    xy = jnp.take(lm_px, jnp.asarray(idxs), axis=-2)
     center = jnp.mean(xy, axis=-2)
     span = (
         jnp.max(xy[..., 0], axis=-1) - jnp.min(xy[..., 0], axis=-1) + _EPS
@@ -241,3 +243,44 @@ def v3_features_batched(
     return jnp.concatenate(
         [xy_n.reshape(B, T, -1), vel[..., None]], axis=-1
     ).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("frame_w", "frame_h"))
+def v3_features_batched(
+    landmarks: jnp.ndarray,
+    frame_w: int,
+    frame_h: int,
+    valid: Optional[jnp.ndarray] = None,
+):
+    """Recorder-v3 177-D features: the 88 fixed points through the span-norm
+    formula. Returns (B, T, 177)."""
+    return span_norm_features_batched(
+        landmarks, jnp.asarray(_FIXED), frame_w, frame_h, valid
+    )
+
+
+def span_norm_feature_frame(
+    landmarks: np.ndarray,
+    frame_w: int,
+    frame_h: int,
+    idxs: np.ndarray,
+    prev_xy: Optional[np.ndarray],
+):
+    """Single-frame host-side span-norm extraction (the dynamic recorders'
+    per-frame path, inactive/lower_face_record.py:86-108). Returns
+    (feat (2K+1,), xy_n, center px, span px)."""
+    lm = np.asarray(landmarks, np.float32)[..., :2] * np.asarray(
+        [frame_w, frame_h], np.float32
+    )
+    xy = lm[np.asarray(idxs)]
+    center = xy.mean(0)
+    span = float(xy[:, 0].max() - xy[:, 0].min()) + _EPS
+    xy_n = (xy - center) / span
+    if prev_xy is None:
+        vel = 0.0
+    else:
+        vel = float(np.mean(np.linalg.norm(xy_n - prev_xy, axis=1)))
+    feat = np.concatenate(
+        [xy_n.reshape(-1), np.asarray([vel], np.float32)]
+    ).astype(np.float32)
+    return feat, xy_n, center, span

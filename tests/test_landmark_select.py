@@ -66,3 +66,31 @@ def test_legacy_feature_dims(rng):
 
     sq = jnp.asarray([[0, 0], [2, 0], [2, 3], [0, 3]], jnp.float32)
     assert float(polygon_area(sq)) == 6.0
+
+
+def test_span_norm_dynamic_selection(rng):
+    """Dynamic-selection features: batched == single-frame host path, and
+    variable dims per selection (the source of mixed-dim corpora)."""
+    import jax.numpy as jnp
+
+    from silent_speech_tpu.ops.features import (
+        span_norm_feature_frame,
+        span_norm_features_batched,
+    )
+
+    lms = (0.2 + 0.6 * rng.random((468, 3))).astype(np.float32)
+    lms[2, 1] = 0.45
+    sel = compute_selected_indices(lms[:, :2])
+    feat, xy_n, center, span = span_norm_feature_frame(lms, 640, 480, sel, None)
+    assert feat.shape == (2 * len(sel) + 1,)
+    assert feat[-1] == 0.0  # first frame: vel = 0
+
+    fb = span_norm_features_batched(
+        jnp.asarray(lms[None, None]), jnp.asarray(sel), 640, 480)
+    np.testing.assert_allclose(np.asarray(fb)[0, 0], feat, atol=2e-4)
+
+    # a different cutoff -> different selection -> different feature dim
+    lms2 = lms.copy()
+    lms2[2, 1] = 0.8
+    sel2 = compute_selected_indices(lms2[:, :2])
+    assert len(sel2) != len(sel)
