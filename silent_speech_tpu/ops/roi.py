@@ -24,11 +24,16 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 # BT.601 luma, same coefficients as cv2.COLOR_BGR2GRAY / RGB2GRAY.
-_LUMA_RGB = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+# Kept as numpy so importing this module never dispatches device work — an
+# eager jnp.asarray here would initialize whatever backend is default (and
+# once turned an env flake into a driver multichip failure; VERDICT r1 item 1).
+_LUMA_RGB = np.asarray([0.299, 0.587, 0.114], np.float32)
 
 
 def make_resize_matrix(
