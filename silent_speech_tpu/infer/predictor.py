@@ -52,13 +52,18 @@ class Predictor:
     max_t: int = 90
     min_frames: int = 5
     buckets: tuple[int, ...] = (16, 32, 64, 90)
+    compute_dtype: str = "float32"  # "bfloat16" = fast serving mode
+    roi_impl: str = "xla"
 
     def __post_init__(self):
         self.buckets = tuple(sorted(set(list(self.buckets) + [self.max_t])))
+        dtype = jnp.dtype(self.compute_dtype)
 
         @partial(jax.jit, static_argnames=())
         def _fwd(params, X, lengths, roi):
-            return model.live_forward(params, self.cfg, X, lengths, roi)
+            return model.live_forward(params, self.cfg, X, lengths, roi,
+                                      compute_dtype=dtype,
+                                      roi_impl=self.roi_impl)
 
         self._fwd = _fwd
 
