@@ -71,6 +71,9 @@ class TrainConfig:
     # keep the corpus in host RAM and ship batches per step instead of
     # holding the whole padded dataset in HBM (for corpora larger than HBM)
     host_data: bool = False
+    # "npz" (single file) or "orbax" (checkpoint directory, async-capable)
+    checkpoint_format: str = "npz"
+    async_checkpoint: bool = False  # orbax only: commit saves in background
 
 
 @dataclasses.dataclass

@@ -1,11 +1,18 @@
-"""Checkpoint save/load.
+"""Checkpoint save/load — two interchangeable backends.
 
-Format: a single `.npz` holding every leaf array under a '/'-joined tree path,
-plus a JSON metadata blob. The metadata carries the same keys as the reference
-checkpoints so tooling that reads them keeps working
-(train_model_official.py:489-500: x_dim, max_t, use_roi, roi_w, roi_h, labels,
-label_to_id, id_to_label, seed; loader-side gru_layers default
-live_infer_official.py:209; CTC extras inactive/train_model.py:258-266).
+- ``npz`` (default): a single `.npz` file holding every leaf array under a
+  '/'-joined tree path, plus a JSON metadata blob.
+- ``orbax``: a checkpoint *directory* written by orbax.checkpoint (composite
+  of a pytree state and a JSON metadata item), with optional async save —
+  the idiomatic JAX format for sharded/multi-host arrays (SURVEY.md section 5
+  checkpoint bullet).
+
+Both carry the same metadata keys as the reference checkpoints so tooling that
+reads them keeps working (train_model_official.py:489-500: x_dim, max_t,
+use_roi, roi_w, roi_h, labels, label_to_id, id_to_label, seed; loader-side
+gru_layers default live_infer_official.py:209; CTC extras
+inactive/train_model.py:258-266). ``load_checkpoint`` auto-detects the backend
+(directory = orbax, file = npz), so resume and the Predictor work with either.
 
 Optimizer state can be saved alongside for true resume — a capability the
 reference lacks (it only ever saves best-val model weights).
@@ -15,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Any, Optional
 
 import numpy as np
@@ -71,8 +79,22 @@ def save_checkpoint(
     params: Any,
     meta: dict,
     opt_state_arrays: Optional[Any] = None,
+    *,
+    format: str = "npz",
+    async_save: bool = False,
 ) -> str:
-    """Write params (+ optional optimizer-state pytree) and metadata."""
+    """Write params (+ optional optimizer-state pytree) and metadata.
+
+    ``format='orbax'`` writes an orbax checkpoint directory instead of the
+    single-file npz; ``async_save`` (orbax only) returns as soon as the arrays
+    are staged, committing in the background.
+    """
+    if format == "orbax":
+        return save_checkpoint_orbax(
+            path, params, meta, opt_state_arrays, async_save=async_save
+        )
+    if format != "npz":
+        raise ValueError(f"unknown checkpoint format {format!r}")
     payload = {f"p/{k}": v for k, v in _flatten(params).items()}
     if opt_state_arrays is not None:
         payload.update(
@@ -98,8 +120,103 @@ def _json_default(o):
     raise TypeError(f"not JSON serializable: {type(o)}")
 
 
+# ----------------------------------------------------------------------------
+# Orbax backend
+# ----------------------------------------------------------------------------
+
+_ORBAX_NONE = "__none__"  # orbax drops None pytree leaves; keep a sentinel
+
+
+def _mask_none(tree: Any) -> Any:
+    if isinstance(tree, dict):
+        return {k: _mask_none(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [_mask_none(v) for v in tree]
+    if tree is None:
+        return _ORBAX_NONE
+    return np.asarray(tree)
+
+
+def _unmask_none(tree: Any) -> Any:
+    if isinstance(tree, dict):
+        return {k: _unmask_none(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [_unmask_none(v) for v in tree]
+    if isinstance(tree, str) and tree == _ORBAX_NONE:
+        return None
+    return tree
+
+
+_ASYNC_CHECKPOINTERS: list = []  # keep async writers alive until finalized
+
+
+def save_checkpoint_orbax(
+    path: str,
+    params: Any,
+    meta: dict,
+    opt_state_arrays: Optional[Any] = None,
+    *,
+    async_save: bool = False,
+) -> str:
+    import orbax.checkpoint as ocp
+
+    # serialize with any in-flight async save (same-path tmp-dir collisions);
+    # the previous save still overlapped the epoch of compute that followed it
+    wait_for_async_saves()
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    state = {"params": _mask_none(params)}
+    if opt_state_arrays is not None:
+        state["opt"] = _mask_none(opt_state_arrays)
+    meta_json = json.loads(json.dumps(meta, default=_json_default))
+    args = ocp.args.Composite(
+        state=ocp.args.StandardSave(state),
+        meta=ocp.args.JsonSave(meta_json),
+    )
+    if async_save:
+        ckptr = ocp.AsyncCheckpointer(ocp.CompositeCheckpointHandler())
+        ckptr.save(path, args=args)
+        _ASYNC_CHECKPOINTERS.append(ckptr)
+    else:
+        with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ckptr:
+            ckptr.save(path, args=args)
+    return path
+
+
+def wait_for_async_saves() -> None:
+    """Block until every pending async orbax save has committed."""
+    while _ASYNC_CHECKPOINTERS:
+        ckptr = _ASYNC_CHECKPOINTERS.pop()
+        ckptr.wait_until_finished()
+        ckptr.close()
+
+
+def load_checkpoint_orbax(path: str):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ckptr:
+        restored = ckptr.restore(
+            path,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+    state = _unmask_none(restored["state"])
+    meta = dict(restored["meta"])
+    return state["params"], meta, state.get("opt")
+
+
 def load_checkpoint(path: str):
-    """Returns (params, meta, opt_state_arrays_or_None)."""
+    """Returns (params, meta, opt_state_arrays_or_None).
+
+    Auto-detects the backend: an orbax checkpoint is a directory, the npz
+    format is a single file.
+    """
+    if os.path.isdir(path):
+        return load_checkpoint_orbax(path)
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(bytes(z[_META_KEY]).decode())
         pflat, oflat = {}, {}

@@ -261,6 +261,8 @@ def train(
             save_checkpoint(
                 cfg.out_path, best_params, dict(meta, epoch=ep),
                 opt_state_arrays=[np.asarray(a) for a in jax.tree.leaves(opt_state)],
+                format=cfg.checkpoint_format,
+                async_save=cfg.async_checkpoint,
             )
             if verbose:
                 print(f"  saved {cfg.out_path} (best val acc {best_acc:.3f})")
@@ -272,6 +274,10 @@ def train(
                 break
 
     mlog.close()
+    if cfg.async_checkpoint:
+        from .checkpoint import wait_for_async_saves
+
+        wait_for_async_saves()
     if verbose:
         print("Done. Best val acc:", best_acc)
     return dict(
