@@ -58,20 +58,26 @@ bool read_file(const char* path, std::vector<uint8_t>& out) {
 }
 
 // Parse the ZIP central directory into entries.
-bool parse_zip(const std::vector<uint8_t>& buf, std::vector<Entry>& entries) {
-    if (buf.size() < 22) return false;
+// Returns 0 on success, 1 on a corrupt container, 2 on a zip64 archive
+// (64-bit sizes/offsets — written by numpy for >4 GB archives; explicitly
+// rejected rather than silently misread, the caller falls back to Python).
+int parse_zip(const std::vector<uint8_t>& buf, std::vector<Entry>& entries) {
+    if (buf.size() < 22) return 1;
     // find End Of Central Directory record (scan back over possible comment)
     size_t eocd = std::string::npos;
     size_t lo = buf.size() >= (22 + 65535) ? buf.size() - 22 - 65535 : 0;
     for (size_t i = buf.size() - 22 + 1; i-- > lo;) {
         if (rd32(&buf[i]) == 0x06054b50) { eocd = i; break; }
     }
-    if (eocd == std::string::npos) return false;
+    if (eocd == std::string::npos) return 1;
     uint16_t n = rd16(&buf[eocd + 10]);
     uint32_t cd_off = rd32(&buf[eocd + 16]);
+    // zip64: sentinel EOCD fields, or a zip64-EOCD-locator just before EOCD
+    if (n == 0xFFFF || cd_off == 0xFFFFFFFFu) return 2;
+    if (eocd >= 20 && rd32(&buf[eocd - 20]) == 0x07064b50) return 2;
     size_t p = cd_off;
     for (uint16_t k = 0; k < n; k++) {
-        if (p + 46 > buf.size() || rd32(&buf[p]) != 0x02014b50) return false;
+        if (p + 46 > buf.size() || rd32(&buf[p]) != 0x02014b50) return 1;
         Entry e;
         e.method = rd16(&buf[p + 10]);
         e.comp_size = rd32(&buf[p + 20]);
@@ -80,16 +86,19 @@ bool parse_zip(const std::vector<uint8_t>& buf, std::vector<Entry>& entries) {
         uint16_t extra_len = rd16(&buf[p + 30]);
         uint16_t cmt_len = rd16(&buf[p + 32]);
         uint32_t lho = rd32(&buf[p + 42]);
+        if (e.comp_size == 0xFFFFFFFFu || e.raw_size == 0xFFFFFFFFu ||
+            lho == 0xFFFFFFFFu)
+            return 2;  // per-entry zip64 sentinels
         e.name.assign((const char*)&buf[p + 46], name_len);
         // local header gives the actual data offset
-        if (lho + 30 > buf.size() || rd32(&buf[lho]) != 0x04034b50) return false;
+        if (lho + 30 > buf.size() || rd32(&buf[lho]) != 0x04034b50) return 1;
         uint16_t lname = rd16(&buf[lho + 26]);
         uint16_t lextra = rd16(&buf[lho + 28]);
         e.data_offset = lho + 30 + lname + lextra;
         entries.push_back(std::move(e));
         p += 46 + name_len + extra_len + cmt_len;
     }
-    return true;
+    return 0;
 }
 
 bool inflate_raw(const uint8_t* src, size_t src_len, uint8_t* dst,
@@ -195,7 +204,11 @@ void copy_as_f32(const Npy& a, float* dst, uint64_t rows, uint64_t cols) {
 extern "C" {
 
 // Load one clip's X (+ optional roi) into padded slices.
-// Returns length (frames used) >= 0, or negative error code.
+// Returns length (frames used) >= 0, or a negative error code:
+//   -1 unreadable file        -2 corrupt zip container
+//   -3 missing X.npy          -4 X has wrong rank
+//   -5 roi shape/dtype wrong  -6 zip64 archive (unsupported)
+// (mirrored by NATIVE_ERROR_NAMES in data/native_loader.py)
 int64_t npz_load_clip(const char* path, int64_t max_t, int64_t d,
                       float* X_out,               // (max_t, d), pre-zeroed
                       int64_t roi_h, int64_t roi_w,
@@ -204,7 +217,9 @@ int64_t npz_load_clip(const char* path, int64_t max_t, int64_t d,
     std::vector<uint8_t> zip;
     if (!read_file(path, zip)) return -1;
     std::vector<Entry> es;
-    if (!parse_zip(zip, es)) return -2;
+    int zrc = parse_zip(zip, es);
+    if (zrc == 2) return -6;  // zip64 unsupported
+    if (zrc != 0) return -2;
     Npy X;
     if (!load_entry(zip, es, "X.npy", X)) return -3;
     if (X.shape.size() != 2) return -4;

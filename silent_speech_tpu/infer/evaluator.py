@@ -3,8 +3,10 @@
 The reference sweeps every clip through the model one at a time
 (inactive/dataset_eval.py:44-73) printing dataset accuracy, average
 confidence, and the top-10 confusion pairs, with labels parsed from
-filenames. Here the sweep is batched: the whole corpus is padded/stacked once
-and evaluated in large device batches.
+filenames. Here the sweep is batched AND streamed: clips load in bounded
+chunks through the native parallel loader (csrc/npz_loader.cpp), so host
+memory stays O(chunk_size) regardless of corpus size — a corpus big enough to
+motivate a TPU never has to fit in host RAM at once.
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ import numpy as np
 
 from ..core.schema import fix_dim, load_clip, parse_filename_label
 from ..data.corpus import scan_corpus
+from ..data.native_loader import load_corpus_arrays
 from .predictor import Predictor
 
 
@@ -26,11 +29,18 @@ def _softmax(x: np.ndarray, axis=-1) -> np.ndarray:
     return e / e.sum(axis=axis, keepdims=True)
 
 
+def _npz_label(path: str) -> str:
+    """Read only the label entry of a clip (cheap: one small zip member)."""
+    with np.load(path, allow_pickle=False) as z:
+        return str(z["label"]) if "label" in z.files else ""
+
+
 def evaluate_dataset(
     predictor: Predictor,
     clip_dir: str,
     *,
     batch_size: int = 64,
+    chunk_size: int = 256,
     label_from_filename: bool = True,
     verbose: bool = True,
 ) -> dict:
@@ -38,53 +48,40 @@ def evaluate_dataset(
 
     Returns {accuracy, avg_conf, confusions, n}. Mirrors the reference
     report format: dataset acc, avg conf, top-10 (true, pred) pairs.
+
+    ``chunk_size`` bounds host memory: at most chunk_size padded clips are
+    resident at a time (~0.5 MB/clip at the official shapes).
     """
     index = scan_corpus(clip_dir, verbose=False)
-    label_to_id = {v: k for k, v in predictor.id_to_label.items()}
-
-    X_list, L_list, R_list, true_labels = [], [], [], []
-    for f in index.files:
-        c = load_clip(f)
-        if predictor.cfg.use_roi:
-            c = c.aligned()
-        X = fix_dim(c.X, predictor.cfg.x_dim)
-        T = min(c.T, predictor.max_t)
-        Xp = np.zeros((predictor.max_t, predictor.cfg.x_dim), np.float32)
-        Xp[:T] = X[:T]
-        X_list.append(Xp)
-        L_list.append(T)
-        if predictor.cfg.use_roi:
-            Rp = np.zeros(
-                (predictor.max_t, predictor.cfg.roi_h, predictor.cfg.roi_w),
-                np.uint8,
-            )
-            if c.roi is not None:
-                Rp[:T] = c.roi[:T]
-            R_list.append(Rp)
-        true_labels.append(
-            parse_filename_label(f) if label_from_filename else c.label
-        )
-
-    X = np.stack(X_list)
-    L = np.asarray(L_list, np.int32)
-    R = np.stack(R_list) if predictor.cfg.use_roi else None
+    use_roi = predictor.cfg.use_roi
+    chunk_size = max(chunk_size, batch_size)
 
     correct, total, conf_sum = 0, 0, 0.0
     cm: Counter = Counter()
-    for s in range(0, len(X), batch_size):
-        e = s + batch_size
-        logits = predictor.predict_batch(
-            X[s:e], L[s:e], None if R is None else R[s:e]
+    for cs in range(0, len(index.files), chunk_size):
+        files = index.files[cs:cs + chunk_size]
+        X, R, L, _has_roi = load_corpus_arrays(
+            files, predictor.max_t, predictor.cfg.x_dim, use_roi,
+            roi_hw=(predictor.cfg.roi_h, predictor.cfg.roi_w),
         )
-        probs = _softmax(logits)
-        preds = probs.argmax(-1)
-        for i, pid in enumerate(preds):
-            pred_word = predictor.id_to_label.get(int(pid), str(int(pid)))
-            true_word = true_labels[s + i]
-            cm[(true_word, pred_word)] += 1
-            correct += int(pred_word == true_word)
-            conf_sum += float(probs[i, pid])
-            total += 1
+        true_labels = [
+            parse_filename_label(f) if label_from_filename else _npz_label(f)
+            for f in files
+        ]
+        for s in range(0, len(X), batch_size):
+            e = s + batch_size
+            logits = predictor.predict_batch(
+                X[s:e], L[s:e], None if R is None else R[s:e]
+            )
+            probs = _softmax(logits)
+            preds = probs.argmax(-1)
+            for i, pid in enumerate(preds):
+                pred_word = predictor.id_to_label.get(int(pid), str(int(pid)))
+                true_word = true_labels[s + i]
+                cm[(true_word, pred_word)] += 1
+                correct += int(pred_word == true_word)
+                conf_sum += float(probs[i, pid])
+                total += 1
 
     acc = correct / total if total else 0.0
     avg_conf = conf_sum / total if total else 0.0

@@ -114,6 +114,24 @@ def test_evaluate_dataset_structure(tmp_path):
     assert len(out["confusions"]) <= 10
 
 
+
+def test_evaluate_dataset_streams_bounded_chunks(tmp_path):
+    """Chunked streaming sweep == whole-corpus sweep (VERDICT r1 item 8):
+    host memory stays O(chunk_size) without changing any reported number."""
+    corpus = tmp_path / "clips_big"
+    generate_corpus(str(corpus), clips_per_word=3, seed=5)  # 30 clips
+    pred = _make_predictor(tmp_path)
+    whole = evaluate_dataset(pred, str(corpus), verbose=False,
+                             chunk_size=1024, batch_size=8)
+    # chunk smaller than the corpus AND not a multiple of batch size
+    stream = evaluate_dataset(pred, str(corpus), verbose=False,
+                              chunk_size=8, batch_size=8)
+    assert stream["n"] == whole["n"] == 30
+    assert stream["accuracy"] == whole["accuracy"]
+    np.testing.assert_allclose(stream["avg_conf"], whole["avg_conf"],
+                               rtol=1e-6)
+    assert sorted(stream["confusions"]) == sorted(whole["confusions"])
+
 def test_sliding_window_engine_cadence(rng):
     calls = []
 

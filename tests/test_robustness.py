@@ -81,3 +81,66 @@ def test_evaluate_temporal_cnn_legacy_path(tmp_path, rng):
                                 str(corpus), verbose=False)
     assert out["n"] == 4 and 0.0 <= out["accuracy"] <= 1.0
     assert 0.0 <= out["avg_conf"] <= 1.0
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_loader_names_every_failure(tmp_path):
+    """Per-file error codes surface as named reasons, not just a count."""
+    import numpy as np
+
+    from silent_speech_tpu.data.native_loader import NativeLoaderError
+    from silent_speech_tpu.data.synthetic import generate_corpus
+
+    corpus = tmp_path / "c"
+    generate_corpus(str(corpus), clips_per_word=1, words=["yes"], seed=1)
+    good = sorted(str(p) for p in corpus.glob("*.npz"))
+    bad_zip = str(tmp_path / "bad_zip.npz")
+    with open(bad_zip, "wb") as f:
+        f.write(b"not a zip at all" * 4)
+    no_x = str(tmp_path / "no_x.npz")
+    np.savez_compressed(no_x, Y=np.zeros((3, 4), np.float32))
+
+    with pytest.raises(NativeLoaderError) as ei:
+        load_corpus_arrays(good + [bad_zip, no_x], 40, 180, False)
+    failures = {p: (c, r) for p, c, r in ei.value.failures}
+    assert failures[bad_zip][0] == -2
+    assert "corrupt zip" in failures[bad_zip][1]
+    assert failures[no_x][0] == -3
+    assert "missing X.npy" in failures[no_x][1]
+    assert good[0] not in failures
+    assert bad_zip in str(ei.value) and "corrupt zip" in str(ei.value)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_loader_rejects_zip64(tmp_path):
+    """zip64 archives are explicitly rejected (code -6), never misread."""
+    import io
+    import zipfile
+
+    import numpy as np
+
+    from silent_speech_tpu.data.native_loader import NativeLoaderError
+
+    X = np.random.default_rng(0).standard_normal((8, 180)).astype(np.float32)
+    buf = io.BytesIO()
+    np.lib.format.write_array(buf, X)
+    path = str(tmp_path / "big.npz")
+    # force genuine zip64 structures (0xFFFFFFFF central-directory sentinels
+    # + zip64 EOCD) on a small file, as numpy would emit for a >4 GB archive
+    orig_limit = zipfile.ZIP64_LIMIT
+    try:
+        zipfile.ZIP64_LIMIT = 0
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+            with zf.open(zipfile.ZipInfo("X.npy"), "w", force_zip64=True) as f:
+                f.write(buf.getvalue())
+    finally:
+        zipfile.ZIP64_LIMIT = orig_limit
+
+    # sanity: numpy itself can read it
+    with np.load(path) as z:
+        np.testing.assert_array_equal(z["X"], X)
+
+    with pytest.raises(NativeLoaderError) as ei:
+        load_corpus_arrays([path], 40, 180, False)
+    (p, code, reason), = ei.value.failures
+    assert code == -6 and "zip64" in reason
