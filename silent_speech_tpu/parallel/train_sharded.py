@@ -16,7 +16,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..data.augment import augment_batch
 from ..models import bigru as model
 from ..train.step import StepConfig, smoothed_cross_entropy
-from .mesh import bigru_param_specs, shard_params
+from .mesh import batch_spec, bigru_param_specs, put_global, shard_params
 
 
 def make_sharded_train_step(
@@ -37,8 +37,8 @@ def make_sharded_train_step(
     params = shard_params(params, mesh, pspecs)
     opt_state = optimizer.init(params)
 
-    batch_sh = NamedSharding(mesh, P("data"))
-    rep_sh = NamedSharding(mesh, P())
+    bspec = batch_spec(mesh)  # spans 'dcn' too on a multislice mesh
+    batch_sh = NamedSharding(mesh, bspec)
 
     def loss_fn(params, X, lengths, roi, y, rng):
         logits = model.train_forward(
@@ -65,11 +65,11 @@ def make_sharded_train_step(
         return params, opt_state, {"loss": loss, "acc": acc}
 
     def run(params, opt_state, rng, X, lengths, roi, y):
-        X = jax.device_put(X, batch_sh)
-        lengths = jax.device_put(lengths, batch_sh)
-        roi = None if roi is None else jax.device_put(roi, batch_sh)
-        y = jax.device_put(y, batch_sh)
-        rng = jax.device_put(rng, rep_sh)
+        X = put_global(X, mesh, bspec)
+        lengths = put_global(lengths, mesh, bspec)
+        roi = None if roi is None else put_global(roi, mesh, bspec)
+        y = put_global(y, mesh, bspec)
+        rng = put_global(rng, mesh, P())
         return step(params, opt_state, rng, X, lengths, roi, y)
 
     return params, opt_state, run
@@ -82,7 +82,8 @@ def make_sharded_infer_fn(
     compute_dtype=jnp.float32,
 ):
     """Data-parallel batched live-forward for serving sweeps."""
-    batch_sh = NamedSharding(mesh, P("data"))
+    bspec = batch_spec(mesh)
+    batch_sh = NamedSharding(mesh, bspec)
 
     @jax.jit
     def fwd(params, X, lengths, roi):
@@ -92,9 +93,9 @@ def make_sharded_infer_fn(
         )
 
     def run(params, X, lengths, roi):
-        X = jax.device_put(X, batch_sh)
-        lengths = jax.device_put(lengths, batch_sh)
-        roi = None if roi is None else jax.device_put(roi, batch_sh)
+        X = put_global(X, mesh, bspec)
+        lengths = put_global(lengths, mesh, bspec)
+        roi = None if roi is None else put_global(roi, mesh, bspec)
         return fwd(params, X, lengths, roi)
 
     return run
