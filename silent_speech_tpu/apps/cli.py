@@ -25,10 +25,17 @@ Commands:
 
 Overrides use the config dataclass field names, e.g.
 ``train clip_dir=clips_npz epochs=40 lr=1e-3``.
+
+Camera commands (record, record-timed, infer-live, infer-gated, infer-stream,
+infer-ctc, landmarks-view, important-landmarks) accept ``sim=N``: run N frames
+against the headless simulation harness (synthetic face track + scripted
+record-toggle keystrokes) instead of a real camera — works on hosts with no
+cv2/mediapipe/camera.
 """
 
 from __future__ import annotations
 
+import contextlib
 import sys
 
 from ..core.config import (
@@ -58,10 +65,35 @@ def main(argv=None) -> int:
         return 1
 
 
+def _sim_context(sim_n: int):
+    """Default simulation scenario: face in range, openness bursts, 'r'
+    toggled around the middle of the run."""
+    from ..runtime.fakes import NO_KEY, face_track, sim_session
+
+    keys = [NO_KEY] * sim_n
+    if sim_n >= 16:
+        keys[3] = ord("r")
+        keys[sim_n - 8] = ord("r")
+    # openness square wave: speaking bursts for the gated/stream modes
+    open_seq = [20.0 if (i // 12) % 2 == 1 else 6.0 for i in range(sim_n)]
+    return sim_session(keys=keys, n_frames=sim_n,
+                       faces=face_track(sim_n, open_seq=open_seq))
+
+
 def _dispatch(argv) -> int:
     cmd, args = argv[0], argv[1:]
     kv, flags = _split_kv(args)
 
+    sim_n = 0
+    for a in list(kv):
+        if a.startswith("sim="):
+            sim_n = int(a.split("=", 1)[1])
+            kv.remove(a)
+    with _sim_context(sim_n) if sim_n else contextlib.nullcontext():
+        return _dispatch_cmd(cmd, kv, flags)
+
+
+def _dispatch_cmd(cmd, kv, flags) -> int:
     if cmd == "record":
         from .record import main as run
         run(apply_overrides(RecorderConfig(), kv))

@@ -10,12 +10,44 @@ inactive/caden_record.py:127-134).
 
 from __future__ import annotations
 
+import os
 import shutil
 import subprocess
 import time
 from typing import Iterator, Optional
 
 import numpy as np
+
+# where mediapipe publishes the FaceLandmarker bundle the reference ships as
+# models/face_landmarker.task (3.7 MB)
+LANDMARKER_URL = (
+    "https://storage.googleapis.com/mediapipe-models/face_landmarker/"
+    "face_landmarker/float16/latest/face_landmarker.task"
+)
+LANDMARKER_ENV = "SILENT_SPEECH_LANDMARKER"
+
+
+def resolve_landmarker_asset(model_path: str) -> str:
+    """Resolve the FaceLandmarker .task bundle, failing with instructions.
+
+    Order: explicit existing path -> $SILENT_SPEECH_LANDMARKER -> the same
+    relative path under the repo root. The reference hardcodes the relative
+    path and fails deep inside mediapipe when it's missing; here the first
+    real-camera session gets an actionable error instead."""
+    candidates = [model_path]
+    env = os.environ.get(LANDMARKER_ENV)
+    if env:
+        candidates.append(env)
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    candidates.append(os.path.join(here, model_path))
+    for c in candidates:
+        if c and os.path.isfile(c):
+            return c
+    raise FileNotFoundError(
+        f"FaceLandmarker model bundle not found (tried: {candidates}).\n"
+        f"Download it once:\n  curl -L -o {model_path} {LANDMARKER_URL}\n"
+        f"or point {LANDMARKER_ENV} at an existing copy."
+    )
 
 try:  # pragma: no cover - optional dependency
     import cv2  # type: ignore
@@ -77,6 +109,7 @@ class FaceLandmarkerSession:
     def __init__(self, model_path: str = "models/face_landmarker.task",
                  video_mode: bool = True):
         _require(mp, "mediapipe")
+        model_path = resolve_landmarker_asset(model_path)
         mode = (mp_vision.RunningMode.VIDEO if video_mode
                 else mp_vision.RunningMode.IMAGE)
         options = mp_vision.FaceLandmarkerOptions(
