@@ -27,7 +27,7 @@ from silent_speech_tpu.train.step import make_optimizer, smoothed_cross_entropy
 T = 32
 
 
-def bench_train(B: int, dtype, iters: int = 20) -> float:
+def bench_train(B: int, dtype, iters: int = 20, roi_impl: str = "xla") -> float:
     mcfg = model.BiGRUConfig(x_dim=180, num_classes=10, use_roi=True)
     params = model.init_params(jax.random.PRNGKey(0), mcfg)
     opt = make_optimizer(3e-4)
@@ -40,7 +40,7 @@ def bench_train(B: int, dtype, iters: int = 20) -> float:
 
     def loss_fn(p, Xb, Lb, Rb, yb, key):
         logits = model.train_forward(p, mcfg, Xb, Lb, Rb, train=True, rng=key,
-                                     compute_dtype=dtype)
+                                     compute_dtype=dtype, roi_impl=roi_impl)
         return smoothed_cross_entropy(logits, yb, 10, 0.05)
 
     @partial(jax.jit, static_argnames=("n",))
@@ -66,12 +66,19 @@ def bench_train(B: int, dtype, iters: int = 20) -> float:
 
 def main():
     out = {}
-    for B, dtype, tag in ((16, jnp.float32, "B16_f32"),
-                          (256, jnp.float32, "B256_f32"),
-                          (256, jnp.bfloat16, "B256_bf16")):
-        dt = bench_train(B, dtype)
+    # roi_impl='grouped' measured SLOWER for training at every config
+    # (B16 f32: 10.6 vs 3.1 ms; B256 f32: 34.1 vs 32.8; B256 bf16: 22.6 vs
+    # 22.3) — the tiled-weight backward does not pay; grouped stays an
+    # inference-path option. Pass roi_impl to bench_train() to re-measure.
+    for B, dtype, roi_impl, tag in (
+        (16, jnp.float32, "xla", "B16_f32"),
+        (256, jnp.float32, "xla", "B256_f32"),
+        (256, jnp.bfloat16, "xla", "B256_bf16"),
+    ):
+        dt = bench_train(B, dtype, roi_impl=roi_impl)
         out[tag] = {"step_ms": round(dt * 1e3, 3),
                     "clips_per_sec": round(B / dt, 1)}
+        print(f"# {tag}: {out[tag]}", flush=True)
     print(json.dumps(out))
 
 

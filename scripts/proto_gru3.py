@@ -82,7 +82,7 @@ def _gru_fusedproj_kernel(K, cast, len_ref, x_ref, wi_ref, bi_ref, wh_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("batch_tile", "k_steps", "bf16_mm", "interpret"),
+    static_argnames=("batch_tile", "k_steps", "bf16_mm", "vmem_mb", "interpret"),
 )
 def gru_sequence_fusedproj(
     x: jnp.ndarray,  # (B, T, D) — already flipped for the reverse direction
@@ -95,6 +95,7 @@ def gru_sequence_fusedproj(
     batch_tile: int = 128,
     k_steps: int = 8,
     bf16_mm: bool = False,
+    vmem_mb: int = 0,
     interpret: Optional[bool] = None,
 ):
     if interpret is None:
@@ -129,6 +130,10 @@ def gru_sequence_fusedproj(
         ),
         out_shape=jax.ShapeDtypeStruct((T_pad, B_pad, H), jnp.float32),
         scratch_shapes=[pltpu.VMEM((TB, H), jnp.float32)],
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 1024 * 1024)
+            if vmem_mb else None
+        ),
         interpret=interpret,
     )(len2d, x_tm.astype(jnp.float32),
       wi.astype(jnp.float32), bi.astype(jnp.float32).reshape(1, H3),
@@ -137,13 +142,13 @@ def gru_sequence_fusedproj(
 
 
 def gru_layer_fusedproj(x, lengths, params, *, reverse=False, batch_tile=128,
-                        k_steps=8, bf16_mm=False, interpret=None):
+                        k_steps=8, bf16_mm=False, vmem_mb=0, interpret=None):
     if reverse:
         x = flip_padded(x, lengths)
     y = gru_sequence_fusedproj(
         x, lengths, params["wi"], params["bi"], params["wh"], params["bh"],
         batch_tile=batch_tile, k_steps=k_steps, bf16_mm=bf16_mm,
-        interpret=interpret,
+        vmem_mb=vmem_mb, interpret=interpret,
     )
     if reverse:
         y = flip_padded(y, lengths)
@@ -151,15 +156,17 @@ def gru_layer_fusedproj(x, lengths, params, *, reverse=False, batch_tile=128,
 
 
 def bigru_fusedproj(x, lengths, layers, *, batch_tile=128, k_steps=8,
-                    bf16_mm=False, interpret=None):
+                    bf16_mm=False, vmem_mb=0, interpret=None):
     out = x
     for lp in layers:
         y_f = gru_layer_fusedproj(out, lengths, lp["fwd"], reverse=False,
                                   batch_tile=batch_tile, k_steps=k_steps,
-                                  bf16_mm=bf16_mm, interpret=interpret)
+                                  bf16_mm=bf16_mm, vmem_mb=vmem_mb,
+                                  interpret=interpret)
         y_b = gru_layer_fusedproj(out, lengths, lp["bwd"], reverse=True,
                                   batch_tile=batch_tile, k_steps=k_steps,
-                                  bf16_mm=bf16_mm, interpret=interpret)
+                                  bf16_mm=bf16_mm, vmem_mb=vmem_mb,
+                                  interpret=interpret)
         out = jnp.concatenate([y_f, y_b], axis=-1)
     return out
 
@@ -211,21 +218,20 @@ def main():
 
     variants = [
         ("scan", lambda xc: gru_scan.bigru(xc, lengths, layers)[0]),
-        ("pallas v1 tb128", lambda xc: pallas_gru.bigru_pallas(xc, lengths, layers)),
-        ("fusedproj k8 tb128", lambda xc: bigru_fusedproj(
-            xc, lengths, layers, batch_tile=128, k_steps=8)),
-        ("fusedproj k16 tb128", lambda xc: bigru_fusedproj(
-            xc, lengths, layers, batch_tile=128, k_steps=16)),
         ("fusedproj k4 tb256", lambda xc: bigru_fusedproj(
             xc, lengths, layers, batch_tile=256, k_steps=4)),
-        ("fusedproj k8 tb256", lambda xc: bigru_fusedproj(
-            xc, lengths, layers, batch_tile=256, k_steps=8)),
-        ("fusedproj k32 tb128", lambda xc: bigru_fusedproj(
-            xc, lengths, layers, batch_tile=128, k_steps=32)),
-        ("fusedproj k16 tb128 bf16", lambda xc: bigru_fusedproj(
-            xc, lengths, layers, batch_tile=128, k_steps=16, bf16_mm=True)),
-        ("fusedproj k8 tb512", lambda xc: bigru_fusedproj(
-            xc, lengths, layers, batch_tile=512, k_steps=8)),
+        ("fusedproj k8 tb256 v64", lambda xc: bigru_fusedproj(
+            xc, lengths, layers, batch_tile=256, k_steps=8, vmem_mb=64)),
+        ("fusedproj k4 tb512 v64", lambda xc: bigru_fusedproj(
+            xc, lengths, layers, batch_tile=512, k_steps=4, vmem_mb=64)),
+        ("fusedproj k8 tb512 v96", lambda xc: bigru_fusedproj(
+            xc, lengths, layers, batch_tile=512, k_steps=8, vmem_mb=96)),
+        ("fusedproj k16 tb512 v110", lambda xc: bigru_fusedproj(
+            xc, lengths, layers, batch_tile=512, k_steps=16, vmem_mb=110)),
+        ("fusedproj k2 tb512 v64", lambda xc: bigru_fusedproj(
+            xc, lengths, layers, batch_tile=512, k_steps=2, vmem_mb=64)),
+        ("fusedproj k1 tb512 v64", lambda xc: bigru_fusedproj(
+            xc, lengths, layers, batch_tile=512, k_steps=1, vmem_mb=64)),
     ]
     base = None
     for name, fn in variants:

@@ -138,9 +138,11 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
     elif cmd == "eval-dataset":
         from ..infer import Predictor, evaluate_dataset
         cfg = apply_overrides(EvalConfig(), kv)
-        pred = (Predictor.from_torch_checkpoint(cfg.ckpt_path)
+        pkw = dict(compute_dtype=cfg.compute_dtype, roi_impl=cfg.roi_impl,
+                   gru_impl=cfg.gru_impl)
+        pred = (Predictor.from_torch_checkpoint(cfg.ckpt_path, **pkw)
                 if cfg.ckpt_path.endswith(".pt")
-                else Predictor.from_checkpoint(cfg.ckpt_path))
+                else Predictor.from_checkpoint(cfg.ckpt_path, **pkw))
         evaluate_dataset(pred, cfg.clip_dir, batch_size=cfg.batch_size)
     elif cmd == "eval-ctc":
         from ..infer.evaluator import evaluate_ctc_dataset

@@ -50,15 +50,21 @@ def _overlay_top3(cv2, out, top3):
                     (0, 255, 0), 2)
 
 
+def _load_predictor(cfg: InferConfig) -> Predictor:
+    kw = dict(compute_dtype=cfg.compute_dtype, roi_impl=cfg.roi_impl,
+              gru_impl=cfg.gru_impl)
+    return (
+        Predictor.from_torch_checkpoint(cfg.ckpt_path, **kw)
+        if cfg.ckpt_path.endswith(".pt")
+        else Predictor.from_checkpoint(cfg.ckpt_path, **kw)
+    )
+
+
 def infer_live(cfg: InferConfig = InferConfig(),
                model_path: str = "models/face_landmarker.task"):
     import cv2
 
-    predictor = (
-        Predictor.from_torch_checkpoint(cfg.ckpt_path)
-        if cfg.ckpt_path.endswith(".pt")
-        else Predictor.from_checkpoint(cfg.ckpt_path)
-    )
+    predictor = _load_predictor(cfg)
     print(f"Loaded model. use_roi={predictor.cfg.use_roi} "
           f"max_t={predictor.max_t} classes={len(predictor.id_to_label)}")
 
@@ -137,11 +143,7 @@ def infer_gated(cfg: InferConfig = InferConfig(),
                 model_path: str = "models/face_landmarker.task"):
     import cv2
 
-    predictor = (
-        Predictor.from_torch_checkpoint(cfg.ckpt_path)
-        if cfg.ckpt_path.endswith(".pt")
-        else Predictor.from_checkpoint(cfg.ckpt_path)
-    )
+    predictor = _load_predictor(cfg)
     gate = OpennessGate(stream_cfg)
     cam = CameraSource(cfg.cam_index)
     lm = FaceLandmarkerSession(model_path, video_mode=True)

@@ -67,6 +67,7 @@ class TrainConfig:
     head_dropout: float = 0.2
     # TPU-specific knobs (no reference counterpart)
     compute_dtype: str = "float32"  # "bfloat16" for throughput
+    roi_impl: str = "xla"  # 'grouped' = bitwise-identical faster ROI CNN
     mesh_shape: Optional[dict] = None  # e.g. {"data": 4, "model": 2}
     # keep the corpus in host RAM and ship batches per step instead of
     # holding the whole padded dataset in HBM (for corpora larger than HBM)
@@ -89,6 +90,10 @@ class InferConfig:
     draw_points: bool = True
     min_frames: int = 5
     topk: int = 3
+    # TPU serving knobs (no reference counterpart)
+    compute_dtype: str = "float32"  # "bfloat16" = fast serving mode
+    roi_impl: str = "xla"  # "grouped" = bitwise-identical faster ROI CNN
+    gru_impl: str = "scan"  # "pallas" = fused sequence kernel (bit-identical)
 
 
 @dataclasses.dataclass
@@ -145,6 +150,10 @@ class EvalConfig:
     ckpt_path: str = "word_model_points_roi.ckpt"
     batch_size: int = 64
     top_confusions: int = 10
+    # TPU serving knobs (no reference counterpart)
+    compute_dtype: str = "float32"
+    roi_impl: str = "xla"
+    gru_impl: str = "scan"
 
 
 def _parse_dict_override(raw: str) -> dict:

@@ -54,6 +54,7 @@ class Predictor:
     buckets: tuple[int, ...] = (16, 32, 64, 90)
     compute_dtype: str = "float32"  # "bfloat16" = fast serving mode
     roi_impl: str = "xla"
+    gru_impl: str = "scan"  # "pallas" = fused sequence kernel (bit-identical)
 
     def __post_init__(self):
         self.buckets = tuple(sorted(set(list(self.buckets) + [self.max_t])))
@@ -63,7 +64,8 @@ class Predictor:
         def _fwd(params, X, lengths, roi):
             return model.live_forward(params, self.cfg, X, lengths, roi,
                                       compute_dtype=dtype,
-                                      roi_impl=self.roi_impl)
+                                      roi_impl=self.roi_impl,
+                                      gru_impl=self.gru_impl)
 
         self._fwd = _fwd
 

@@ -243,9 +243,14 @@ def live_forward(params, cfg, X, lengths, roi=None, compute_dtype=jnp.float32,
 
 
 def train_forward(params, cfg, X, lengths, roi=None, *, train=True, rng=None,
-                  compute_dtype=jnp.float32):
+                  compute_dtype=jnp.float32, roi_impl: str = "xla"):
     """The training-path forward (per-frame ROI standardization,
-    train_model_official.py:279-310)."""
+    train_model_official.py:279-310).
+
+    ``roi_impl='grouped'`` is valid here too: the grouped conv is bitwise
+    identical to the per-frame path (tests/test_grouped_cnn.py) and
+    differentiable (plain XLA grouped convolutions).
+    """
     return forward(
         params,
         cfg,
@@ -256,4 +261,5 @@ def train_forward(params, cfg, X, lengths, roi=None, *, train=True, rng=None,
         train=train,
         rng=rng,
         compute_dtype=compute_dtype,
+        roi_impl=roi_impl,
     )

@@ -13,6 +13,12 @@ Measured (v5e-1, 8192 frames, f32): conv1 alone is ~3.9x faster grouped;
 end-to-end 5.8 ms vs 6.7 ms at G=16 (G=32: 6.0, G=64: 8.4 — later convs gain
 nothing, so bigger groups lose), a modest but free win wired as
 ``roi_impl='grouped'``.
+
+Training: the path is differentiable (plain XLA grouped conv; one-step param
+parity pinned in tests/test_grouped_cnn.py) but measured SLOWER end-to-end
+for the train step (scripts/bench_train.py: B=16 f32 10.6 vs 3.1 ms, B=256
+f32 34.1 vs 32.8 ms) — the tiled-weight backward's group reduction costs
+more than the forward saves, so the training default stays 'xla'.
 """
 
 from __future__ import annotations
@@ -40,7 +46,9 @@ def _grouped_conv(x, w, b, groups: int):
 
 
 def _pool(x):
-    neg = jnp.asarray(-jnp.inf, x.dtype)
+    # init must be a scalar literal (not a traced array) for jax to pick the
+    # differentiable reduce-window-max path
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x, neg, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
     )

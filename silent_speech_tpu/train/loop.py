@@ -104,6 +104,7 @@ def train(
             drop_max=cfg.drop_frames_max,
         ),
         compute_dtype=cfg.compute_dtype,
+        roi_impl=cfg.roi_impl,
     )
 
     key = jax.random.PRNGKey(cfg.seed)

@@ -42,13 +42,16 @@ class StepConfig:
     label_smoothing: float = 0.05
     augment: Optional[AugmentConfig] = None
     compute_dtype: str = "float32"
+    # 'xla' or 'grouped' (frames packed into conv channel groups; bitwise
+    # identical and differentiable — see ops/grouped_cnn.py)
+    roi_impl: str = "xla"
 
 
 def _make_loss_fn(scfg: StepConfig, dtype):
     def loss_fn(params, X, lengths, roi, y, rng):
         logits = model.train_forward(
             params, scfg.model, X, lengths, roi, train=True, rng=rng,
-            compute_dtype=dtype,
+            compute_dtype=dtype, roi_impl=scfg.roi_impl,
         )
         loss = smoothed_cross_entropy(
             logits, y, scfg.model.num_classes, scfg.label_smoothing
@@ -116,7 +119,8 @@ def make_eval_step(scfg: StepConfig):
     @jax.jit
     def step(params, X, lengths, roi, y):
         logits = model.train_forward(
-            params, scfg.model, X, lengths, roi, train=False, compute_dtype=dtype
+            params, scfg.model, X, lengths, roi, train=False,
+            compute_dtype=dtype, roi_impl=scfg.roi_impl,
         )
         loss = smoothed_cross_entropy(
             logits, y, scfg.model.num_classes, scfg.label_smoothing

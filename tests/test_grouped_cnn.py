@@ -35,6 +35,38 @@ def test_grouped_ragged_batch_falls_back(rng):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_train_step_with_grouped_impl_matches_xla(rng):
+    """roi_impl='grouped' is differentiable and trains identically: one full
+    Adam step (gather+augment off, fixed rng) lands on the same params as the
+    per-frame path to fp32 round-off."""
+    import optax
+
+    from silent_speech_tpu.train.step import StepConfig, make_batch_train_step, make_optimizer
+
+    cfg = BiGRUConfig(x_dim=12, num_classes=4, use_roi=True, hidden=16,
+                      roi_emb=8, head_hidden=8)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    opt = make_optimizer(1e-3)
+    X = jnp.asarray(rng.standard_normal((4, 12, 12)).astype(np.float32))
+    L = jnp.asarray(np.asarray([12, 7, 9, 12], np.int32))
+    R = jnp.asarray(rng.integers(0, 256, (4, 12, 48, 96), dtype=np.uint8))
+    y = jnp.asarray(np.asarray([0, 1, 2, 3], np.int32))
+
+    outs = {}
+    for impl in ("xla", "grouped"):
+        scfg = StepConfig(model=cfg, augment=None, roi_impl=impl)
+        step = make_batch_train_step(scfg, opt)
+        p, _, _, m = step(jax.tree.map(jnp.copy, params), opt.init(params),
+                          jax.random.PRNGKey(9), X, L, R, y)
+        outs[impl] = (p, float(m["loss"]))
+
+    assert np.isclose(outs["xla"][1], outs["grouped"][1], atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+        outs["xla"][0], outs["grouped"][0],
+    )
+
+
 def test_model_forward_with_grouped_impl(rng):
     cfg = BiGRUConfig(x_dim=180, num_classes=10, use_roi=True)
     params = init_params(jax.random.PRNGKey(2), cfg)
