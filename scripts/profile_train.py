@@ -140,9 +140,17 @@ def main():
 
     if args.trace:
         os.makedirs(args.trace, exist_ok=True)
-        with jax.profiler.trace(args.trace):
+        # silence the host/python tracers — a jitted scan emits ~1M python
+        # events that crowd the device rows out of the trace-event cap
+        opts = jax.profiler.ProfileOptions()
+        opts.host_tracer_level = 0
+        opts.python_tracer_level = 0
+        jax.profiler.start_trace(args.trace, profiler_options=opts)
+        try:
             out = run(*state, 3)
             np.asarray(out)
+        finally:
+            jax.profiler.stop_trace()
         parse_trace(args.trace)
 
 

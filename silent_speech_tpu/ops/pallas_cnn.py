@@ -312,7 +312,9 @@ def roi_cnn_pallas(
     standardization), the three convs, pools, global mean and the fc.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from .pallas_gru import default_interpret
+
+        interpret = default_interpret()
     N = roi_u8.shape[0]
     emb = packed["fc_w"].shape[-1]
     N_pad = -(-N // F_TILE) * F_TILE

@@ -54,6 +54,21 @@ from .gru import flip_padded
 _VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 
 
+def default_interpret() -> bool:
+    """Interpret mode unless the computation will actually run on a TPU.
+
+    `jax.default_backend()` alone is wrong when a TPU backend exists but the
+    default *device* is pinned to CPU (tests/conftest.py does exactly that):
+    the kernel would then be lowered for the CPU backend, which only supports
+    interpret mode.
+    """
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        platform = dev if isinstance(dev, str) else dev.platform
+        return platform != "tpu"
+    return jax.default_backend() != "tpu"
+
+
 def _gru_fusedproj_kernel(K, len_ref, x_ref, wi_ref, bi_ref, wh_ref, bh_ref,
                           y_ref, h_scratch):
     tb = pl.program_id(1)
@@ -116,7 +131,7 @@ def gru_sequence_pallas(
     zeroed, identical to ops.gru.gru_layer_single_direction's outputs.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = default_interpret()
     B, T, D = x.shape
     H3 = wi.shape[-1]
     H = H3 // 3

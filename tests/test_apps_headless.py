@@ -94,6 +94,21 @@ def test_infer_live_record_toggle_predicts(tmp_path, predict_spy, capsys):
     assert any(w == "Live Infer" for w in cv2f.windows)
 
 
+def test_infer_live_serving_knobs(tmp_path, predict_spy, capsys):
+    """compute_dtype/roi_impl/gru_impl flow from InferConfig into the
+    Predictor and the loop still predicts (pallas kernel in interpret mode
+    on the CPU backend)."""
+    ckpt = _save_ckpt(tmp_path)
+    n = 30
+    with sim_session(keys=_keys(n, r=(2, 20)), n_frames=n,
+                     faces=face_track(n)) as (cv2f, cam, lm):
+        live.infer_live(InferConfig(ckpt_path=ckpt,
+                                    compute_dtype="bfloat16",
+                                    roi_impl="grouped", gru_impl="pallas"))
+    assert len(predict_spy) == 1
+    assert "Top3:" in capsys.readouterr().out
+
+
 def test_infer_live_too_short_clip_rejected(tmp_path, predict_spy, capsys):
     ckpt = _save_ckpt(tmp_path)
     n = 16
