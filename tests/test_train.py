@@ -66,6 +66,30 @@ def test_train_overfits_synthetic_corpus(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_train_bf16_compute_learns(tmp_path):
+    """The advertised bf16 training mode (compute_dtype='bfloat16') must
+    actually learn, not just run: params stay f32 (the optimizer state and
+    updates are full precision), only activations compute in bf16."""
+    corpus = tmp_path / "clips_npz"
+    generate_corpus(str(corpus), clips_per_word=5,
+                    words=["yes", "no", "hello"], seed=3)
+    cfg = TrainConfig(
+        clip_dir=str(corpus),
+        out_path=str(tmp_path / "model_bf16.ckpt"),
+        epochs=10,
+        patience=10,
+        batch_size=8,
+        max_t=40,
+        lr=1e-3,
+        compute_dtype="bfloat16",
+    )
+    result = train(cfg, verbose=False)
+    assert result["history"][-1]["train_acc"] >= 0.5  # beats 3-way chance
+    # master params remained f32
+    leaf = jax.tree.leaves(result["params"])[0]
+    assert leaf.dtype == jnp.float32
+
+
 def test_checkpoint_roundtrip_with_opt_state(tmp_path):
     key = jax.random.PRNGKey(0)
     mcfg = model.BiGRUConfig(x_dim=16, num_classes=3, use_roi=False, hidden=8)
