@@ -50,14 +50,13 @@ def _overlay_top3(cv2, out, top3):
                     (0, 255, 0), 2)
 
 
-def _load_predictor(cfg: InferConfig) -> Predictor:
-    kw = dict(compute_dtype=cfg.compute_dtype, roi_impl=cfg.roi_impl,
-              gru_impl=cfg.gru_impl)
-    return (
-        Predictor.from_torch_checkpoint(cfg.ckpt_path, **kw)
-        if cfg.ckpt_path.endswith(".pt")
-        else Predictor.from_checkpoint(cfg.ckpt_path, **kw)
-    )
+def _load_predictor(cfg: InferConfig):
+    """Any checkpoint family — official or variant, .pt or ours
+    (infer.predictor.load_predictor routing)."""
+    from ..infer.predictor import load_predictor
+
+    return load_predictor(cfg.ckpt_path, compute_dtype=cfg.compute_dtype,
+                          roi_impl=cfg.roi_impl, gru_impl=cfg.gru_impl)
 
 
 def infer_live(cfg: InferConfig = InferConfig(),

@@ -1,10 +1,11 @@
-from .predictor import Predictor, topk_from_logits
+from .predictor import Predictor, load_predictor, topk_from_logits
 from .evaluator import evaluate_dataset, evaluate_temporal_cnn, zscore
 from .streaming import CarryStreamingGRU, ClipEvent, OpennessGate, SlidingWindowEngine
 from .ctc_decode import CTCDecoder, Dictionary, trim_silence
 
 __all__ = [
     "Predictor",
+    "load_predictor",
     "topk_from_logits",
     "evaluate_dataset",
     "evaluate_temporal_cnn",

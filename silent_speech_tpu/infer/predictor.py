@@ -158,3 +158,53 @@ class Predictor:
                 None if roi is None else jnp.asarray(roi),
             )
         )
+
+
+def load_predictor(path: str, **kw):
+    """Route any checkpoint to the right predictor family.
+
+    Accepts reference PyTorch checkpoints in every generation's schema —
+    official (x_dim/model/..., live_infer_official.py:198-221), reduced
+    word_model_5.pt (input_dim/max_t, inactive/train_reduced.py:250-257),
+    both word_model.pt generations (uni-GRU with t_target,
+    inactive/train_model_1130pm.py:230-241, vs TemporalCNN,
+    inactive/dataset_eval.py:34-42), and the quick-MLP (in_dim/labels) — as
+    well as this framework's own npz/orbax checkpoints (variant families
+    dispatch on their ``model`` metadata tag).
+
+    ``kw`` (serving knobs) applies to the official family; variant families
+    are feature-only and ignore it.
+    """
+    from .variant_predictor import VariantPredictor
+
+    if path.endswith(".pt"):
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        if not isinstance(ckpt, dict):
+            raise ValueError(f"{path}: not a checkpoint dict")
+        if "vocab" in ckpt:
+            raise ValueError(
+                f"{path} is a CTC checkpoint — use infer-ctc / eval-ctc"
+            )
+        if "x_dim" in ckpt:
+            return Predictor.from_torch_checkpoint(path, **kw)
+        if "input_dim" in ckpt:
+            return VariantPredictor.from_torch_reduced(path)
+        if "t_target" in ckpt:
+            return VariantPredictor.from_torch_unigru(path)
+        if "model_state" in ckpt and "d_in" in ckpt:
+            return VariantPredictor.from_torch_temporal_cnn(path)
+        if "in_dim" in ckpt and "labels" in ckpt:
+            return VariantPredictor.from_torch_mlp(path)
+        raise ValueError(
+            f"{path}: unrecognized torch checkpoint schema "
+            f"(keys: {sorted(ckpt)})"
+        )
+
+    _, meta, _ = load_checkpoint(path)
+    if meta.get("vocab"):
+        raise ValueError(f"{path} is a CTC checkpoint — use infer-ctc / eval-ctc")
+    if meta.get("model"):
+        return VariantPredictor.from_checkpoint(path)
+    return Predictor.from_checkpoint(path, **kw)

@@ -27,6 +27,8 @@ class VariantPredictor:
                  d_in: int, max_t: int, *,
                  zscore: bool = False, add_deltas: bool = False,
                  trim: Optional[dict] = None):
+        import types
+
         self._fwd = jax.jit(forward)
         self.id_to_label = id_to_label
         self.d_in = d_in
@@ -34,6 +36,9 @@ class VariantPredictor:
         self.zscore = zscore
         self.add_deltas = add_deltas
         self.trim = trim  # activity-trim config (unigru family)
+        # duck-typed model-config shim so the live app loops (apps/live.py)
+        # can drive any family: variant models are feature-only
+        self.cfg = types.SimpleNamespace(use_roi=False, roi_h=48, roi_w=96)
 
     @classmethod
     def from_checkpoint(cls, path: str) -> "VariantPredictor":
@@ -56,6 +61,62 @@ class VariantPredictor:
             i2l = {int(k): v for k, v in meta["id_to_label"].items()}
             return cls(fwd, i2l, int(meta["in_dim"]) // 2, 10 ** 6)
         raise ValueError(f"unknown variant model tag: {model!r}")
+
+    @classmethod
+    def from_torch_reduced(cls, path: str) -> "VariantPredictor":
+        """Reference word_model_5.pt (inactive/train_reduced.py:250-257:
+        model/id_to_label/input_dim/max_t). train_reduced declares the head
+        as a Sequential ('head.0.*') while the caden demos re-declare it as a
+        bare Linear ('head.*') — a naming skew that makes the reference's own
+        loader fail; accept both."""
+        import torch
+
+        from ..core.torch_import import import_reduced_bigru
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        sd = dict(ckpt["model"])
+        if "head.weight" in sd and "head.0.weight" not in sd:
+            sd["head.0.weight"] = sd.pop("head.weight")
+            sd["head.0.bias"] = sd.pop("head.bias")
+        params = import_reduced_bigru(sd)
+        i2l = {int(k): str(v) for k, v in ckpt["id_to_label"].items()}
+        fwd = lambda X: V.reduced_bigru_forward(params, X)
+        return cls(fwd, i2l, int(ckpt["input_dim"]), int(ckpt["max_t"]))
+
+    @classmethod
+    def from_torch_unigru(cls, path: str) -> "VariantPredictor":
+        """Reference 1130pm word_model.pt (inactive/train_model_1130pm.py:
+        230-241: model_state/d_in/id_to_word/t_target/d_target/use_deltas/
+        trim)."""
+        import torch
+
+        from ..core.torch_import import import_unigru_classifier
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        params = import_unigru_classifier(ckpt["model_state"])
+        i2l = {int(k): str(v) for k, v in ckpt["id_to_word"].items()}
+        fwd = lambda X: V.unigru_classifier_forward(params, X)
+        return cls(fwd, i2l, int(ckpt["d_target"]), int(ckpt["t_target"]),
+                   zscore=True, add_deltas=bool(ckpt.get("use_deltas")),
+                   trim=dict(ckpt.get("trim", {})))
+
+    @classmethod
+    def from_torch_mlp(cls, path: str) -> "VariantPredictor":
+        """Reference quick-MLP ckpt (inactive/train_5_quick.py:133-136:
+        model_state/labels/in_dim; in_dim = 2*D mean+std summary)."""
+        import torch
+
+        from ..core.torch_import import import_mlp
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        params = import_mlp(ckpt["model_state"])
+        labels = list(ckpt["labels"])
+        i2l = {i: str(w) for i, w in enumerate(labels)}
+
+        def fwd(X):
+            return V.mlp_forward(params, V.clip_to_summary(X))
+
+        return cls(fwd, i2l, int(ckpt["in_dim"]) // 2, 10 ** 6)
 
     @classmethod
     def from_torch_temporal_cnn(cls, path: str) -> "VariantPredictor":
@@ -100,3 +161,9 @@ class VariantPredictor:
             X = (X - X.mean(0, keepdims=True)) / (X.std(0, keepdims=True) + 1e-6)
         logits = np.asarray(self._fwd(jnp.asarray(X[None])))[0]
         return topk_from_logits(logits, self.id_to_label, k)
+
+    def predict_arrays(self, feats, roi, k: int = 3):
+        """Predictor-interface adapter (apps/live.py): variant families are
+        feature-only, so the ROI stack is ignored."""
+        del roi
+        return self.predict_features(np.asarray(feats, np.float32), k=k)

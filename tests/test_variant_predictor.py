@@ -80,3 +80,113 @@ def test_temporal_cnn_torch_schema(tmp_path, rng):
     order = ref.argsort()[::-1]
     assert [w for w, _ in top] == [f"w{i}" for i in order[:3]]
     np.testing.assert_allclose([pr for _, pr in top], ref[order[:3]], atol=1e-3)
+
+
+def test_load_predictor_routes_all_torch_schemas(tmp_path, rng):
+    """load_predictor dispatches every reference checkpoint generation by
+    schema, and variant predictors satisfy the apps/live interface
+    (cfg.use_roi + predict_arrays)."""
+    import pytest
+
+    from silent_speech_tpu.infer import load_predictor
+
+    # reduced word_model_5.pt schema, with the caden-style bare-Linear head
+    # naming (the skew that breaks the reference's own loader)
+    class Reduced(nn.Module):
+        def __init__(self, d, h, c):
+            super().__init__()
+            self.gru = nn.GRU(d, h, num_layers=1, batch_first=True,
+                              bidirectional=True)
+            self.head = nn.Linear(2 * h, c)
+
+        def forward(self, x):
+            out, _ = self.gru(x)
+            return self.head(out.mean(dim=1))
+
+    torch.manual_seed(1)
+    tm = Reduced(83, 64, 5).eval()
+    rpath = str(tmp_path / "word_model_5.pt")
+    torch.save({
+        "model": tm.state_dict(),
+        "id_to_label": {i: f"w{i}" for i in range(5)},
+        "label_to_id": {f"w{i}": i for i in range(5)},
+        "input_dim": 83, "max_t": 60, "words": [f"w{i}" for i in range(5)],
+    }, rpath)
+    p = load_predictor(rpath)
+    assert isinstance(p, VariantPredictor) and p.cfg.use_roi is False
+    X = rng.standard_normal((40, 83)).astype(np.float32)
+    top = p.predict_arrays(X, None, k=3)
+
+    # reference predict_clip: pad to max_t with zeros, unmasked mean-pool
+    Xp = np.zeros((60, 83), np.float32)
+    Xp[:40] = X
+    with torch.no_grad():
+        ref = torch.softmax(tm(torch.from_numpy(Xp[None])), -1)[0].numpy()
+    order = ref.argsort()[::-1]
+    assert [w for w, _ in top] == [f"w{i}" for i in order[:3]]
+    np.testing.assert_allclose([pr for _, pr in top], ref[order[:3]], atol=1e-3)
+
+    # quick-MLP word_model.pt schema (in_dim/labels/model_state, net.0/3/6)
+    class QuickMLP(nn.Module):
+        def __init__(self, d_in, c):
+            super().__init__()
+            self.net = nn.Sequential(
+                nn.Linear(d_in, 256), nn.ReLU(), nn.Dropout(0.2),
+                nn.Linear(256, 128), nn.ReLU(), nn.Dropout(0.2),
+                nn.Linear(128, c))
+
+        def forward(self, x):
+            return self.net(x)
+
+    torch.manual_seed(2)
+    mm = QuickMLP(166, 5).eval()
+    mpath = str(tmp_path / "word_model_quick.pt")
+    torch.save({"model_state": mm.state_dict(),
+                "labels": [f"w{i}" for i in range(5)], "in_dim": 166}, mpath)
+    pm = load_predictor(mpath)
+    assert isinstance(pm, VariantPredictor)
+    Xm = rng.standard_normal((20, 83)).astype(np.float32)
+    topm = pm.predict_arrays(Xm, None, k=2)
+    summ = np.concatenate([Xm.mean(0), Xm.std(0)])
+    with torch.no_grad():
+        refm = torch.softmax(mm(torch.from_numpy(summ[None])), -1)[0].numpy()
+    assert topm[0][0] == f"w{int(refm.argmax())}"
+
+    # CTC checkpoints route to a helpful error
+    cpath = str(tmp_path / "ctc.pt")
+    torch.save({"model": {}, "vocab": ["<b>", "a"], "blank_id": 0}, cpath)
+    with pytest.raises(ValueError, match="infer-ctc"):
+        load_predictor(cpath)
+
+
+def test_load_predictor_on_actual_reference_checkpoints():
+    """The two checkpoints physically present in the reference snapshot load
+    and predict end-to-end (the strongest interop evidence available: real
+    hackathon artifacts, not synthetic schemas)."""
+    import os
+
+    import pytest
+
+    from silent_speech_tpu.infer import load_predictor
+
+    ref = "/root/reference/inactive"
+    if not os.path.isdir(ref):
+        pytest.skip("reference snapshot not mounted")
+
+    rng = np.random.default_rng(0)
+    # word_model_5.pt: reduced BiGRU, 83-D features
+    p5 = load_predictor(os.path.join(ref, "word_model_5.pt"))
+    assert isinstance(p5, VariantPredictor)
+    top = p5.predict_arrays(rng.standard_normal((32, 83)).astype(np.float32),
+                            None, k=3)
+    assert len(top) == 3
+    assert {w for w, _ in top} <= {"hello", "water", "thanks", "please", "apple"}
+
+    # word_model.pt: quick-MLP summary model
+    pq = load_predictor(os.path.join(ref, "word_model.pt"))
+    assert isinstance(pq, VariantPredictor)
+    topq = pq.predict_arrays(rng.standard_normal((20, 83)).astype(np.float32),
+                             None, k=3)
+    assert abs(sum(pr for _, pr in pq.predict_arrays(
+        rng.standard_normal((20, 83)).astype(np.float32), None, k=5)) - 1.0) < 1e-4
+    assert len(topq) == 3
