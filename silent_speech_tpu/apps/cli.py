@@ -136,14 +136,15 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
         infer_stream(ckpt, StreamConfig(),
                      cam_index=int(extras.get("cam_index", 0)))
     elif cmd == "eval-dataset":
-        from ..infer import Predictor, evaluate_dataset
+        from ..infer import VariantPredictor, evaluate_dataset, load_predictor
+        from ..infer.evaluator import evaluate_variant_dataset
         cfg = apply_overrides(EvalConfig(), kv)
-        pkw = dict(compute_dtype=cfg.compute_dtype, roi_impl=cfg.roi_impl,
-                   gru_impl=cfg.gru_impl)
-        pred = (Predictor.from_torch_checkpoint(cfg.ckpt_path, **pkw)
-                if cfg.ckpt_path.endswith(".pt")
-                else Predictor.from_checkpoint(cfg.ckpt_path, **pkw))
-        evaluate_dataset(pred, cfg.clip_dir, batch_size=cfg.batch_size)
+        pred = load_predictor(cfg.ckpt_path, compute_dtype=cfg.compute_dtype,
+                              roi_impl=cfg.roi_impl, gru_impl=cfg.gru_impl)
+        if isinstance(pred, VariantPredictor):
+            evaluate_variant_dataset(pred, cfg.clip_dir)
+        else:
+            evaluate_dataset(pred, cfg.clip_dir, batch_size=cfg.batch_size)
     elif cmd == "eval-ctc":
         from ..infer.evaluator import evaluate_ctc_dataset
         extras = dict(x.split("=", 1) for x in kv)

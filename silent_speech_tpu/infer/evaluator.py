@@ -99,6 +99,40 @@ def zscore(X: np.ndarray) -> np.ndarray:
     return (X - X.mean(0, keepdims=True)) / (X.std(0, keepdims=True) + 1e-6)
 
 
+def evaluate_variant_dataset(
+    predictor,
+    clip_dir: str,
+    *,
+    label_from_filename: bool = True,
+    verbose: bool = True,
+) -> dict:
+    """Corpus sweep for the feature-only variant families (VariantPredictor):
+    per-clip predict with the family's exact preprocessing (fix_dim /
+    z-score / deltas / trim), reference report format
+    (inactive/dataset_eval.py:44-73)."""
+    index = scan_corpus(clip_dir, verbose=False)
+    correct = total = 0
+    conf_sum = 0.0
+    cm: Counter = Counter()
+    for f in index.files:
+        c = load_clip(f)
+        top = predictor.predict_features(c.X.astype(np.float32), k=1)
+        pred_word, conf = top[0]
+        true_word = parse_filename_label(f) if label_from_filename else c.label
+        cm[(true_word, pred_word)] += 1
+        correct += int(pred_word == true_word)
+        conf_sum += float(conf)
+        total += 1
+    acc = correct / total if total else 0.0
+    avg_conf = conf_sum / total if total else 0.0
+    confusions = [(p, n) for p, n in cm.most_common(10)]
+    if verbose:
+        print("dataset acc:", acc)
+        print("avg conf:", avg_conf)
+        print("top confusions:", confusions)
+    return dict(accuracy=acc, avg_conf=avg_conf, confusions=confusions, n=total)
+
+
 def evaluate_temporal_cnn(
     params: dict,
     d_in: int,

@@ -190,3 +190,23 @@ def test_load_predictor_on_actual_reference_checkpoints():
     assert abs(sum(pr for _, pr in pq.predict_arrays(
         rng.standard_normal((20, 83)).astype(np.float32), None, k=5)) - 1.0) < 1e-4
     assert len(topq) == 3
+
+
+def test_evaluate_variant_dataset_structure(tmp_path, rng):
+    """The dataset_eval.py workflow for feature-only families: sweep a corpus
+    with a VariantPredictor, reference report format."""
+    from silent_speech_tpu.infer.evaluator import evaluate_variant_dataset
+
+    corpus = tmp_path / "c"
+    words = ["hello", "water", "thanks", "please", "apple"]
+    generate_corpus(str(corpus), clips_per_word=3, words=words, seed=9,
+                    with_roi=False)
+    train_reduced(ReducedConfig(clip_dir=str(corpus),
+                                out_path=str(tmp_path / "r.ckpt"),
+                                epochs=2, batch_size=8, max_t=40),
+                  verbose=False)
+    p = VariantPredictor.from_checkpoint(str(tmp_path / "r.ckpt"))
+    out = evaluate_variant_dataset(p, str(corpus), verbose=False)
+    assert out["n"] == 15
+    assert 0.0 <= out["accuracy"] <= 1.0
+    assert all(t in words for (t, _), _ in out["confusions"])
