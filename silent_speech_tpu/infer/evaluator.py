@@ -30,9 +30,13 @@ def _softmax(x: np.ndarray, axis=-1) -> np.ndarray:
 
 
 def _npz_label(path: str) -> str:
-    """Read only the label entry of a clip (cheap: one small zip member)."""
+    """Read only the label entry of a clip (cheap: one small zip member),
+    falling back to the filename label when the npz lacks one — the same
+    tolerance as core.schema.load_clip."""
     with np.load(path, allow_pickle=False) as z:
-        return str(z["label"]) if "label" in z.files else ""
+        if "label" in z.files:
+            return str(z["label"])
+    return parse_filename_label(path)
 
 
 def evaluate_dataset(

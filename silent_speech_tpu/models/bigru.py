@@ -161,6 +161,12 @@ def forward(
     ops.pallas_cnn.pack_roi_cnn_params to reuse the packed weights).
     Returns logits (B, num_classes) f32.
     """
+    if roi_impl not in ("xla", "grouped", "pallas"):
+        raise ValueError(f"unknown roi_impl {roi_impl!r} "
+                         "(expected 'xla', 'grouped', or 'pallas')")
+    if gru_impl not in ("scan", "pallas"):
+        raise ValueError(f"unknown gru_impl {gru_impl!r} "
+                         "(expected 'scan' or 'pallas')")
     X = X.astype(compute_dtype)
     if cfg.use_roi:
         if roi is None:

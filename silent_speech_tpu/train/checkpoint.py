@@ -164,8 +164,11 @@ def save_checkpoint_orbax(
     # the previous save still overlapped the epoch of compute that followed it
     wait_for_async_saves()
     path = os.path.abspath(path)
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    # write to a sibling tmp dir and swap only after the save has committed:
+    # the previous checkpoint (dir OR npz file — e.g. retraining over an
+    # npz-format path) survives any crash during the new save
+    tmp = path + ".orbax-tmp"
+    _remove_path(tmp)
     state = {"params": _mask_none(params)}
     if opt_state_arrays is not None:
         state["opt"] = _mask_none(opt_state_arrays)
@@ -176,20 +179,35 @@ def save_checkpoint_orbax(
     )
     if async_save:
         ckptr = ocp.AsyncCheckpointer(ocp.CompositeCheckpointHandler())
-        ckptr.save(path, args=args)
-        _ASYNC_CHECKPOINTERS.append(ckptr)
+        ckptr.save(tmp, args=args)
+        _ASYNC_CHECKPOINTERS.append((ckptr, tmp, path))
     else:
         with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ckptr:
-            ckptr.save(path, args=args)
+            ckptr.save(tmp, args=args)
+        _swap_into_place(tmp, path)
     return path
 
 
+def _remove_path(p: str) -> None:
+    if os.path.isdir(p):
+        shutil.rmtree(p)
+    elif os.path.exists(p):
+        os.remove(p)
+
+
+def _swap_into_place(tmp: str, path: str) -> None:
+    _remove_path(path)
+    os.rename(tmp, path)
+
+
 def wait_for_async_saves() -> None:
-    """Block until every pending async orbax save has committed."""
+    """Block until every pending async orbax save has committed, then swap
+    each committed tmp dir into its final path."""
     while _ASYNC_CHECKPOINTERS:
-        ckptr = _ASYNC_CHECKPOINTERS.pop()
+        ckptr, tmp, path = _ASYNC_CHECKPOINTERS.pop()
         ckptr.wait_until_finished()
         ckptr.close()
+        _swap_into_place(tmp, path)
 
 
 def load_checkpoint_orbax(path: str):

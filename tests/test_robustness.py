@@ -112,19 +112,19 @@ def test_native_loader_names_every_failure(tmp_path):
 
 
 @pytest.mark.skipif(not native.available(), reason="native lib unavailable")
-def test_native_loader_rejects_zip64(tmp_path):
-    """zip64 archives are explicitly rejected (code -6), never misread."""
+def test_native_loader_zip64_falls_back_to_numpy(tmp_path):
+    """zip64 archives are rejected by the native parser (code -6), never
+    misread — and then loaded correctly through the per-file numpy
+    fallback."""
     import io
     import zipfile
 
     import numpy as np
 
-    from silent_speech_tpu.data.native_loader import NativeLoaderError
-
     X = np.random.default_rng(0).standard_normal((8, 180)).astype(np.float32)
     buf = io.BytesIO()
     np.lib.format.write_array(buf, X)
-    path = str(tmp_path / "big.npz")
+    path = str(tmp_path / "synth_big_1700000000_0001.npz")
     # force genuine zip64 structures (0xFFFFFFFF central-directory sentinels
     # + zip64 EOCD) on a small file, as numpy would emit for a >4 GB archive
     orig_limit = zipfile.ZIP64_LIMIT
@@ -140,7 +140,7 @@ def test_native_loader_rejects_zip64(tmp_path):
     with np.load(path) as z:
         np.testing.assert_array_equal(z["X"], X)
 
-    with pytest.raises(NativeLoaderError) as ei:
-        load_corpus_arrays([path], 40, 180, False)
-    (p, code, reason), = ei.value.failures
-    assert code == -6 and "zip64" in reason
+    Xa, roi, lengths, has_roi = load_corpus_arrays([path], 40, 180, False)
+    assert lengths[0] == 8 and roi is None
+    np.testing.assert_allclose(Xa[0, :8], X, atol=1e-6)
+    assert not Xa[0, 8:].any()
