@@ -56,7 +56,7 @@ def main():
 
     rng = np.random.default_rng(0)
     best, best_B = 0.0, 0
-    for B in (256, 512):
+    for B in (256, 512, 1024):
         X = jnp.asarray(rng.standard_normal((B, T, 180)).astype(np.float32))
         lengths = jnp.asarray(np.full((B,), T, np.int32))
         roi = jnp.asarray(rng.integers(0, 256, (B, T, 48, 96), dtype=np.uint8))

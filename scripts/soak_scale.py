@@ -59,8 +59,6 @@ def main():
     t0 = time.perf_counter()
     result = train(cfg, verbose=True)
     t_train = time.perf_counter() - t0
-    epochs_run = len(result["history"])
-    clips_seen = epochs_run * int(n_clips * 0.85)  # train split per epoch
 
     t0 = time.perf_counter()
     pred = Predictor.from_checkpoint(
@@ -68,10 +66,14 @@ def main():
     ev = evaluate_dataset(pred, corpus, batch_size=256, verbose=True)
     t_eval = time.perf_counter() - t0
 
+    # steady state excludes the first epoch (jit compile + corpus preflight)
+    steady = [h["seconds"] for h in result["history"][1:]] or [t_train]
+    steady_s = sum(steady) / len(steady)
     print(json.dumps({
         "n_clips": n_clips,
-        "train_s_per_epoch": round(t_train / max(epochs_run, 1), 2),
-        "train_clips_per_sec": round(clips_seen / t_train, 1),
+        "train_s_per_epoch_steady": round(steady_s, 2),
+        "train_clips_per_sec_steady": round(n_clips * 0.85 / steady_s, 1),
+        "train_wall_s_total": round(t_train, 1),
         "best_val_acc": round(float(result["best_acc"]), 4),
         "eval_clips_per_sec": round(ev["n"] / t_eval, 1),
         "eval_accuracy": round(float(ev["accuracy"]), 4),
