@@ -1,0 +1,86 @@
+"""On-TPU fidelity audit: logits vs the PyTorch reference ON THE REAL CHIP.
+
+The parity tests (tests/test_model_parity.py, test_golden_parity.py) pin
+logits <= 1e-3 vs torch on the CPU backend at fp32. The BASELINE bar,
+however, is stated for TPU v5e-1 — where f32 matmuls at default precision
+run as bf16x3 decompositions — so this script re-checks the bar where it
+matters: trains the torch golden (reference protocol), imports the weights,
+and compares live-forward logits computed on the TPU against torch CPU for
+every impl combination.
+
+Usage: python scripts/tpu_parity_check.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import tempfile
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from silent_speech_tpu.core.torch_import import import_bigru_classifier
+from silent_speech_tpu.data.synthetic import generate_corpus
+from silent_speech_tpu.models import bigru as model
+
+
+def main():
+    assert jax.default_backend() == "tpu", "run on the TPU backend"
+    import sys
+
+    sys.path.insert(0, ".")
+    from tests.test_golden_parity import WORDS5, _train_torch_golden
+    from tests.test_model_parity import _TorchBiGRUClassifier
+
+    with tempfile.TemporaryDirectory() as td:
+        corpus = f"{td}/clips"
+        generate_corpus(corpus, clips_per_word=6, words=WORDS5, seed=7)
+        files = sorted(glob.glob(f"{corpus}/*.npz"))
+        labels = sorted(WORDS5)
+        label_to_id = {w: i for i, w in enumerate(labels)}
+        tm, (X, R, L, _y) = _train_torch_golden(files, label_to_id)
+
+        # the torch LIVE forward (no ROI standardization) is the parity target
+        live = _TorchBiGRUClassifier(180, len(labels), use_roi=True,
+                                     standardize_roi=False)
+        live.load_state_dict(tm.state_dict())
+        live.eval()
+        with torch.no_grad():
+            ref = live(torch.from_numpy(X), torch.from_numpy(L),
+                       torch.from_numpy(R)).numpy()
+
+        params = import_bigru_classifier(tm.state_dict(), gru_layers=2,
+                                         use_roi=True)
+        params = jax.tree.map(jnp.asarray, params)
+        mcfg = model.BiGRUConfig(x_dim=180, num_classes=5, use_roi=True)
+
+        out = {}
+        for roi_impl, gru_impl, dtype, prec, tag in (
+            ("xla", "scan", jnp.float32, None, "xla/scan/f32"),
+            ("grouped", "scan", jnp.float32, None, "grouped/scan/f32"),
+            ("grouped", "pallas", jnp.float32, None, "grouped/pallas/f32"),
+            ("grouped", "pallas", jnp.bfloat16, None, "grouped/pallas/bf16"),
+            ("xla", "scan", jnp.float32, "highest", "xla/scan/f32/highest"),
+            ("grouped", "scan", jnp.float32, "highest",
+             "grouped/scan/f32/highest"),
+        ):
+            logits = np.asarray(model.live_forward(
+                params, mcfg, jnp.asarray(X), jnp.asarray(L.astype(np.int32)),
+                jnp.asarray(R), compute_dtype=dtype,
+                roi_impl=roi_impl, gru_impl=gru_impl,
+                matmul_precision=prec))
+            err = float(np.max(np.abs(logits - ref)))
+            agree = float(np.mean(logits.argmax(-1) == ref.argmax(-1)))
+            out[tag] = {"max_logit_err": round(err, 6),
+                        "argmax_agreement": agree}
+            print(f"{tag:>22s}: max|dlogits|={err:.2e} argmax={agree:.3f}",
+                  flush=True)
+        print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

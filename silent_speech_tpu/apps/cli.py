@@ -140,7 +140,8 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
         from ..infer.evaluator import evaluate_variant_dataset
         cfg = apply_overrides(EvalConfig(), kv)
         pred = load_predictor(cfg.ckpt_path, compute_dtype=cfg.compute_dtype,
-                              roi_impl=cfg.roi_impl, gru_impl=cfg.gru_impl)
+                              roi_impl=cfg.roi_impl, gru_impl=cfg.gru_impl,
+                              matmul_precision=cfg.matmul_precision or None)
         if isinstance(pred, VariantPredictor):
             evaluate_variant_dataset(pred, cfg.clip_dir)
         else:

@@ -56,7 +56,8 @@ def _load_predictor(cfg: InferConfig):
     from ..infer.predictor import load_predictor
 
     return load_predictor(cfg.ckpt_path, compute_dtype=cfg.compute_dtype,
-                          roi_impl=cfg.roi_impl, gru_impl=cfg.gru_impl)
+                          roi_impl=cfg.roi_impl, gru_impl=cfg.gru_impl,
+                          matmul_precision=cfg.matmul_precision or None)
 
 
 def infer_live(cfg: InferConfig = InferConfig(),

@@ -94,6 +94,7 @@ class InferConfig:
     compute_dtype: str = "float32"  # "bfloat16" = fast serving mode
     roi_impl: str = "xla"  # "grouped" = bitwise-identical faster ROI CNN
     gru_impl: str = "scan"  # "pallas" = fused sequence kernel (bit-identical)
+    matmul_precision: str = ""  # "highest" = strict on-chip parity mode
 
 
 @dataclasses.dataclass
@@ -154,6 +155,7 @@ class EvalConfig:
     compute_dtype: str = "float32"
     roi_impl: str = "xla"
     gru_impl: str = "scan"
+    matmul_precision: str = ""  # "highest" = strict on-chip parity mode
 
 
 def _parse_dict_override(raw: str) -> dict:

@@ -55,6 +55,9 @@ class Predictor:
     compute_dtype: str = "float32"  # "bfloat16" = fast serving mode
     roi_impl: str = "xla"
     gru_impl: str = "scan"  # "pallas" = fused sequence kernel (bit-identical)
+    # None = backend default; "highest" = true-f32 matmuls (on-TPU strict
+    # parity mode: logits < 1e-3 vs torch; scripts/tpu_parity_check.py)
+    matmul_precision: Optional[str] = None
 
     def __post_init__(self):
         self.buckets = tuple(sorted(set(list(self.buckets) + [self.max_t])))
@@ -65,7 +68,8 @@ class Predictor:
             return model.live_forward(params, self.cfg, X, lengths, roi,
                                       compute_dtype=dtype,
                                       roi_impl=self.roi_impl,
-                                      gru_impl=self.gru_impl)
+                                      gru_impl=self.gru_impl,
+                                      matmul_precision=self.matmul_precision)
 
         self._fwd = _fwd
 

@@ -152,6 +152,7 @@ def forward(
     gru_impl: str = "scan",
     roi_impl: str = "xla",
     roi_packed: Optional[dict] = None,
+    matmul_precision: Optional[str] = None,
 ) -> jnp.ndarray:
     """X: (B, T, D) f32; lengths: (B,) i32; roi: (B, T, H, W) uint8 or None.
 
@@ -159,7 +160,11 @@ def forward(
     sequence kernel, inference-only). ``roi_impl``: 'xla' or 'pallas' (fused
     TinyROICNN kernel, inference-only; pass ``roi_packed`` from
     ops.pallas_cnn.pack_roi_cnn_params to reuse the packed weights).
-    Returns logits (B, num_classes) f32.
+    ``matmul_precision``: None = backend default; 'highest' = true-f32
+    matmuls, scoped to this forward only (on TPU the default f32 matmul is a
+    bf16 decomposition that drifts logits ~2.6e-3 vs the torch reference —
+    'highest' brings the on-chip drift under the 1e-3 parity bar; see
+    scripts/tpu_parity_check.py). Returns logits (B, num_classes) f32.
     """
     if roi_impl not in ("xla", "grouped", "pallas"):
         raise ValueError(f"unknown roi_impl {roi_impl!r} "
@@ -167,6 +172,15 @@ def forward(
     if gru_impl not in ("scan", "pallas"):
         raise ValueError(f"unknown gru_impl {gru_impl!r} "
                          "(expected 'scan' or 'pallas')")
+    if matmul_precision:
+        with jax.default_matmul_precision(matmul_precision):
+            return forward(
+                params, cfg, X, lengths, roi,
+                roi_standardize=roi_standardize, train=train, rng=rng,
+                compute_dtype=compute_dtype, gru_impl=gru_impl,
+                roi_impl=roi_impl, roi_packed=roi_packed,
+                matmul_precision=None,
+            )
     X = X.astype(compute_dtype)
     if cfg.use_roi:
         if roi is None:
@@ -230,7 +244,8 @@ def forward(
 
 def live_forward(params, cfg, X, lengths, roi=None, compute_dtype=jnp.float32,
                  gru_impl: str = "scan", roi_impl: str = "xla",
-                 roi_packed: Optional[dict] = None):
+                 roi_packed: Optional[dict] = None,
+                 matmul_precision: Optional[str] = None):
     """The live-inference forward (no ROI standardization, no dropout) —
     the parity target against live_infer_official.py:124-138."""
     return forward(
@@ -245,6 +260,7 @@ def live_forward(params, cfg, X, lengths, roi=None, compute_dtype=jnp.float32,
         gru_impl=gru_impl,
         roi_impl=roi_impl,
         roi_packed=roi_packed,
+        matmul_precision=matmul_precision,
     )
 
 

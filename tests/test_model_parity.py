@@ -128,3 +128,23 @@ def test_dual_forward_skew_exists(rng):
     a = jmodel.live_forward(params, cfg, jnp.asarray(X), jnp.asarray(lengths), jnp.asarray(roi))
     b = jmodel.train_forward(params, cfg, jnp.asarray(X), jnp.asarray(lengths), jnp.asarray(roi), train=False)
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-3
+
+
+def test_matmul_precision_knob_plumbs_through(rng):
+    """matmul_precision='highest' is a no-op on the exact-f32 CPU backend —
+    identical logits — and plumbs through forward/Predictor without error
+    (on TPU it is the strict parity mode; scripts/tpu_parity_check.py)."""
+    import jax
+
+    from silent_speech_tpu.models import bigru as model
+
+    cfg = model.BiGRUConfig(x_dim=12, num_classes=4, use_roi=True,
+                            hidden=16, roi_emb=8, head_hidden=8)
+    params = model.init_params(jax.random.PRNGKey(0), cfg)
+    X = jnp.asarray(rng.standard_normal((2, 10, 12)).astype(np.float32))
+    L = jnp.asarray(np.asarray([10, 7], np.int32))
+    R = jnp.asarray(rng.integers(0, 256, (2, 10, 48, 96), dtype=np.uint8))
+    a = np.asarray(model.live_forward(params, cfg, X, L, R))
+    b = np.asarray(model.live_forward(params, cfg, X, L, R,
+                                      matmul_precision="highest"))
+    np.testing.assert_allclose(a, b, atol=1e-6)
