@@ -143,9 +143,12 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
                               roi_impl=cfg.roi_impl, gru_impl=cfg.gru_impl,
                               matmul_precision=cfg.matmul_precision or None)
         if isinstance(pred, VariantPredictor):
-            evaluate_variant_dataset(pred, cfg.clip_dir)
+            # batch_size does not apply: variant families predict per clip
+            evaluate_variant_dataset(pred, cfg.clip_dir,
+                                     top_confusions=cfg.top_confusions)
         else:
-            evaluate_dataset(pred, cfg.clip_dir, batch_size=cfg.batch_size)
+            evaluate_dataset(pred, cfg.clip_dir, batch_size=cfg.batch_size,
+                             top_confusions=cfg.top_confusions)
     elif cmd == "eval-ctc":
         from ..infer.evaluator import evaluate_ctc_dataset
         extras = dict(x.split("=", 1) for x in kv)

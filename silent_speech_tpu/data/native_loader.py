@@ -59,20 +59,25 @@ def load_corpus_arrays(
     lengths = np.zeros(N, np.int32)
     has_roi = np.zeros(N, np.int32)
 
-    if lib is None:
+    def _py_load_one(i: int, f: str) -> None:
         from ..core.schema import fix_dim, load_clip
 
+        c = load_clip(f)
+        if use_roi:
+            c = c.aligned()
+        Xi = fix_dim(c.X, x_dim)
+        T = min(c.T, max_t)
+        X[i, :T] = Xi[:T]
+        lengths[i] = T
+        if use_roi and c.roi is not None:
+            roi[i, :T] = c.roi[:T]
+            has_roi[i] = 1
+        else:
+            has_roi[i] = 0
+
+    if lib is None:
         for i, f in enumerate(files):
-            c = load_clip(f)
-            if use_roi:
-                c = c.aligned()
-            Xi = fix_dim(c.X, x_dim)
-            T = min(c.T, max_t)
-            X[i, :T] = Xi[:T]
-            lengths[i] = T
-            if use_roi and c.roi is not None:
-                roi[i, :T] = c.roi[:T]
-                has_roi[i] = 1
+            _py_load_one(i, f)
         return X, roi, lengths, has_roi.astype(bool)
 
     paths = (ctypes.c_char_p * N)(*[f.encode() for f in files])
@@ -105,20 +110,13 @@ def load_corpus_arrays(
             if code >= 0:
                 continue
             if code == -6:
-                from ..core.schema import fix_dim, load_clip
-
-                c = load_clip(files[i])
-                if use_roi:
-                    c = c.aligned()
-                Xi = fix_dim(c.X, x_dim)
-                T = min(c.T, max_t)
-                X[i, :T] = Xi[:T]
-                lengths[i] = T
-                if use_roi and c.roi is not None:
-                    roi[i, :T] = c.roi[:T]
-                    has_roi[i] = 1
-                else:
-                    has_roi[i] = 0
+                try:
+                    _py_load_one(i, files[i])
+                except Exception as e:  # keep the per-file named contract
+                    failures.append(
+                        (files[i], -6,
+                         f"zip64 fallback failed: {type(e).__name__}: {e}")
+                    )
             else:
                 failures.append(
                     (files[i], code,

@@ -47,6 +47,7 @@ def evaluate_dataset(
     chunk_size: int = 256,
     label_from_filename: bool = True,
     verbose: bool = True,
+    top_confusions: int = 10,
 ) -> dict:
     """Sweep clip_dir with the official model's live forward.
 
@@ -89,7 +90,7 @@ def evaluate_dataset(
 
     acc = correct / total if total else 0.0
     avg_conf = conf_sum / total if total else 0.0
-    confusions = [(p, n) for p, n in cm.most_common(10)]
+    confusions = [(p, n) for p, n in cm.most_common(top_confusions)]
     if verbose:
         print("dataset acc:", acc)
         print("avg conf:", avg_conf)
@@ -109,6 +110,7 @@ def evaluate_variant_dataset(
     *,
     label_from_filename: bool = True,
     verbose: bool = True,
+    top_confusions: int = 10,
 ) -> dict:
     """Corpus sweep for the feature-only variant families (VariantPredictor):
     per-clip predict with the family's exact preprocessing (fix_dim /
@@ -129,7 +131,7 @@ def evaluate_variant_dataset(
         total += 1
     acc = correct / total if total else 0.0
     avg_conf = conf_sum / total if total else 0.0
-    confusions = [(p, n) for p, n in cm.most_common(10)]
+    confusions = [(p, n) for p, n in cm.most_common(top_confusions)]
     if verbose:
         print("dataset acc:", acc)
         print("avg conf:", avg_conf)

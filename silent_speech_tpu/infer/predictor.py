@@ -90,7 +90,7 @@ class Predictor:
                    max_t=int(meta["max_t"]), **kw)
 
     @classmethod
-    def from_torch_checkpoint(cls, path: str, **kw) -> "Predictor":
+    def from_torch_checkpoint(cls, path: str, _ckpt=None, **kw) -> "Predictor":
         """Load a reference-trained PyTorch checkpoint directly
         (live_infer_official.py:198-221 loader semantics incl. the
         gru_layers-defaults-to-2 tolerance)."""
@@ -98,7 +98,8 @@ class Predictor:
 
         from ..core.torch_import import import_bigru_classifier
 
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        ckpt = _ckpt if _ckpt is not None else torch.load(
+            path, map_location="cpu", weights_only=False)
         gru_layers = int(ckpt.get("gru_layers", 2))
         use_roi = bool(ckpt.get("use_roi", False))
         cfg = model.BiGRUConfig(
@@ -192,15 +193,20 @@ def load_predictor(path: str, **kw):
                 f"{path} is a CTC checkpoint — use infer-ctc / eval-ctc"
             )
         if "x_dim" in ckpt:
-            return Predictor.from_torch_checkpoint(path, **kw)
+            return Predictor.from_torch_checkpoint(path, _ckpt=ckpt, **kw)
         if "input_dim" in ckpt:
-            return VariantPredictor.from_torch_reduced(path)
+            # word_model_5.pt (reduced, 1-layer h=64) and the live_feed
+            # GRUWordClassifier (2-layer h=128, LN+MLP head) share the same
+            # top-level keys — disambiguate on the layer-1 GRU weights
+            if "gru.weight_ih_l1" in ckpt.get("model", {}):
+                return VariantPredictor.from_torch_gru_word(path, _ckpt=ckpt)
+            return VariantPredictor.from_torch_reduced(path, _ckpt=ckpt)
         if "t_target" in ckpt:
-            return VariantPredictor.from_torch_unigru(path)
+            return VariantPredictor.from_torch_unigru(path, _ckpt=ckpt)
         if "model_state" in ckpt and "d_in" in ckpt:
-            return VariantPredictor.from_torch_temporal_cnn(path)
+            return VariantPredictor.from_torch_temporal_cnn(path, _ckpt=ckpt)
         if "in_dim" in ckpt and "labels" in ckpt:
-            return VariantPredictor.from_torch_mlp(path)
+            return VariantPredictor.from_torch_mlp(path, _ckpt=ckpt)
         raise ValueError(
             f"{path}: unrecognized torch checkpoint schema "
             f"(keys: {sorted(ckpt)})"

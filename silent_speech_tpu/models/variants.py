@@ -48,12 +48,27 @@ def init_temporal_cnn(key, d_in: int, num_classes: int, width: int = 128):
     }
 
 
-def temporal_cnn_forward(params, X: jnp.ndarray) -> jnp.ndarray:
+def temporal_cnn_forward(params, X: jnp.ndarray,
+                         lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """X: (B, T, D) -> logits (B, C). Averages over all T (as the reference's
-    AdaptiveAvgPool1d(1) with full-length single clips)."""
-    h = jax.nn.relu(conv1d_nwc(X, params["conv0"]))
-    h = jax.nn.relu(conv1d_nwc(h, params["conv1"]))
-    return dense(jnp.mean(h, axis=1), params["head"])
+    AdaptiveAvgPool1d(1) with full-length single clips).
+
+    With ``lengths``, padded positions are zero-masked after every conv and
+    excluded from the mean — bitwise-equal to running each clip unpadded
+    (SAME convs zero-pad past the boundary either way), which lets callers
+    pad variable-length clips to shape buckets and reuse one compiled
+    program instead of recompiling per clip length."""
+    if lengths is None:
+        h = jax.nn.relu(conv1d_nwc(X, params["conv0"]))
+        h = jax.nn.relu(conv1d_nwc(h, params["conv1"]))
+        return dense(jnp.mean(h, axis=1), params["head"])
+    mask = (jnp.arange(X.shape[1])[None, :] < lengths[:, None]).astype(X.dtype)
+    m3 = mask[..., None]
+    h = jax.nn.relu(conv1d_nwc(X * m3, params["conv0"])) * m3
+    h = jax.nn.relu(conv1d_nwc(h, params["conv1"])) * m3
+    n = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+    pooled = jnp.sum(h, axis=1) / n
+    return dense(pooled, params["head"])
 
 
 # ----------------------------------------------------------------------------

@@ -15,7 +15,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.augment import augment_batch
 from ..models import bigru as model
-from ..train.step import StepConfig, smoothed_cross_entropy
+from ..train.step import StepConfig, _make_loss_fn
 from .mesh import batch_spec, bigru_param_specs, put_global, shard_params
 
 
@@ -40,16 +40,9 @@ def make_sharded_train_step(
     bspec = batch_spec(mesh)  # spans 'dcn' too on a multislice mesh
     batch_sh = NamedSharding(mesh, bspec)
 
-    def loss_fn(params, X, lengths, roi, y, rng):
-        logits = model.train_forward(
-            params, scfg.model, X, lengths, roi, train=True, rng=rng,
-            compute_dtype=dtype,
-        )
-        loss = smoothed_cross_entropy(
-            logits, y, scfg.model.num_classes, scfg.label_smoothing
-        )
-        acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
-        return loss, acc
+    # the single-chip loss (train/step._make_loss_fn) so every StepConfig
+    # knob (roi_impl, label smoothing, ...) carries to the sharded path
+    loss_fn = _make_loss_fn(scfg, dtype)
 
     @jax.jit
     def step(params, opt_state, rng, X, lengths, roi, y):

@@ -178,6 +178,15 @@ def save_checkpoint_orbax(
         meta=ocp.args.JsonSave(meta_json),
     )
     if async_save:
+        import atexit
+
+        if not _ASYNC_CHECKPOINTERS and not getattr(
+                wait_for_async_saves, "_atexit_registered", False):
+            # a committed-but-unswapped save must not be stranded in the tmp
+            # dir if the process exits before the next save/wait (data-loss
+            # window: the 'saved' message already printed)
+            atexit.register(wait_for_async_saves)
+            wait_for_async_saves._atexit_registered = True
         ckptr = ocp.AsyncCheckpointer(ocp.CompositeCheckpointHandler())
         ckptr.save(tmp, args=args)
         _ASYNC_CHECKPOINTERS.append((ckptr, tmp, path))

@@ -210,3 +210,112 @@ def test_evaluate_variant_dataset_structure(tmp_path, rng):
     assert out["n"] == 15
     assert 0.0 <= out["accuracy"] <= 1.0
     assert all(t in words for (t, _), _ in out["confusions"])
+
+
+def test_load_predictor_disambiguates_gru_word_family(tmp_path, rng):
+    """live_feed's GRUWordClassifier ckpt shares word_model_5.pt's top-level
+    keys; routing must dispatch on the layer-1 GRU weights."""
+    from silent_speech_tpu.infer import load_predictor
+
+    class GRUWord(nn.Module):
+        def __init__(self, d, h, c):
+            super().__init__()
+            self.gru = nn.GRU(d, h, num_layers=2, batch_first=True,
+                              bidirectional=True, dropout=0.1)
+            self.head = nn.Sequential(
+                nn.LayerNorm(2 * h), nn.Linear(2 * h, 128), nn.ReLU(),
+                nn.Dropout(0.2), nn.Linear(128, c))
+
+        def forward(self, x):
+            out, _ = self.gru(x)
+            return self.head(out.mean(dim=1))
+
+    torch.manual_seed(4)
+    tm = GRUWord(83, 128, 20).eval()
+    path = str(tmp_path / "word_model.pt")
+    torch.save({
+        "model": tm.state_dict(),
+        "id_to_label": {i: f"w{i}" for i in range(20)},
+        "input_dim": 83, "max_t": 60,
+    }, path)
+    p = load_predictor(path)
+    assert isinstance(p, VariantPredictor)
+    X = rng.standard_normal((60, 83)).astype(np.float32)
+    top = p.predict_arrays(X, None, k=3)
+    with torch.no_grad():
+        ref = torch.softmax(tm(torch.from_numpy(X[None])), -1)[0].numpy()
+    order = ref.argsort()[::-1]
+    assert [w for w, _ in top] == [f"w{i}" for i in order[:3]]
+    np.testing.assert_allclose([pr for _, pr in top], ref[order[:3]], atol=1e-3)
+
+
+def test_temporal_cnn_bucketed_matches_unpadded(rng):
+    """Masked temporal_cnn_forward on a zero-padded bucket == the unpadded
+    forward (the jit-cache-friendly path is numerically exact)."""
+    import jax
+
+    from silent_speech_tpu.models.variants import (
+        init_temporal_cnn,
+        temporal_cnn_forward,
+    )
+
+    params = init_temporal_cnn(jax.random.PRNGKey(0), 24, 6)
+    for T in (5, 17, 31):
+        X = rng.standard_normal((1, T, 24)).astype(np.float32)
+        ref = np.asarray(temporal_cnn_forward(params, jnp.asarray(X)))
+        Xp = np.zeros((1, 32, 24), np.float32)
+        Xp[:, :T] = X
+        got = np.asarray(temporal_cnn_forward(
+            params, jnp.asarray(Xp), jnp.asarray(np.asarray([T], np.int32))))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_variant_predictors_avoid_per_length_recompiles(tmp_path, rng):
+    """temporal-cnn and quick-MLP families must hit one compiled program
+    across clip lengths (per-length recompiles cost 20-240s each on the TPU
+    relay)."""
+
+    class QuickMLP(nn.Module):
+        def __init__(self, d_in, c):
+            super().__init__()
+            self.net = nn.Sequential(
+                nn.Linear(d_in, 256), nn.ReLU(), nn.Dropout(0.2),
+                nn.Linear(256, 128), nn.ReLU(), nn.Dropout(0.2),
+                nn.Linear(128, c))
+
+        def forward(self, x):
+            return self.net(x)
+
+    torch.manual_seed(5)
+    mm = QuickMLP(166, 5).eval()
+    mpath = str(tmp_path / "q.pt")
+    torch.save({"model_state": mm.state_dict(),
+                "labels": [f"w{i}" for i in range(5)], "in_dim": 166}, mpath)
+    pm = VariantPredictor.from_torch_mlp(mpath)
+    for T in (7, 19, 33, 58):
+        pm.predict_features(rng.standard_normal((T, 83)).astype(np.float32))
+    assert pm._fwd._cache_size() == 1, "summary MLP must compile once"
+
+    class TorchTemporalCNN(nn.Module):
+        def __init__(self, d_in, num_classes):
+            super().__init__()
+            self.net = nn.Sequential(
+                nn.Conv1d(d_in, 128, 5, padding=2), nn.ReLU(),
+                nn.Conv1d(128, 128, 5, padding=2), nn.ReLU(),
+                nn.AdaptiveAvgPool1d(1))
+            self.head = nn.Linear(128, num_classes)
+
+        def forward(self, x):
+            return self.head(self.net(x.transpose(1, 2)).squeeze(-1))
+
+    torch.manual_seed(6)
+    tm = TorchTemporalCNN(80, 5).eval()
+    tpath = str(tmp_path / "t.pt")
+    torch.save({"model_state": tm.state_dict(), "d_in": 80, "num_classes": 5,
+                "id_to_word": {i: f"w{i}" for i in range(5)}}, tpath)
+    pt = VariantPredictor.from_torch_temporal_cnn(tpath)
+    for T in (7, 19, 30, 25):  # all bucket to 32
+        top = pt.predict_features(
+            rng.standard_normal((T, 80)).astype(np.float32), k=1)
+        assert len(top) == 1
+    assert pt._fwd._cache_size() == 1, "bucketed CNN must compile once per bucket"
