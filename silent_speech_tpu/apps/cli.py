@@ -21,6 +21,7 @@ Commands:
     debug-npz       corpus keys/shapes debugger (inactive/debug.py)
     export-torch    convert our checkpoint to a reference-consumable .pt
     status          collection-progress dashboard (record_training_data --status)
+    doctor          environment diagnosis (backend, native libs, capture deps)
     bench           single-chip throughput benchmark
 
 Overrides use the config dataclass field names, e.g.
@@ -184,6 +185,9 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
         from .debug_npz import main as run
         extras = dict(x.split("=", 1) for x in kv)
         return run(extras.get("clip_dir", "clips_npz"))
+    elif cmd == "doctor":
+        from .doctor import run_doctor
+        return run_doctor()
     elif cmd == "bench":
         import runpy
         import os
