@@ -16,7 +16,7 @@ from ..core import InferConfig, StreamConfig
 from ..core.landmarks import FIXED_IDXS
 from ..infer import OpennessGate, Predictor, SlidingWindowEngine
 from ..ops.features import extract_features_frame
-from ..ops.roi import crop_resize_gray_batched
+from ..ops.roi import crop_resize_gray_frame_host
 from ..runtime.capture import (
     CameraSource,
     FaceLandmarkerSession,
@@ -31,14 +31,14 @@ BOOM_PATH = "audios/vine-boom.mp3"
 
 
 def _roi_frame(frame_bgr, center, scale, cfg, mode="area"):
-    roi, ok = crop_resize_gray_batched(
-        jnp.asarray(frame_bgr[None, None]),
-        jnp.asarray(np.asarray(center, np.float32)[None, None]),
-        jnp.asarray(np.asarray([[scale]], np.float32)),
+    # host CPU, pure numpy: the 30 fps capture loop must never wait on a
+    # device compile/dispatch (same math as the batched device kernel)
+    roi = crop_resize_gray_frame_host(
+        frame_bgr, center, scale,
         out_h=cfg.roi_h, out_w=cfg.roi_w, mode=mode, input_layout="bgr",
     )
-    if bool(np.asarray(ok)[0, 0]):
-        return np.asarray(roi)[0, 0]
+    if roi is not None:
+        return roi
     return np.zeros((cfg.roi_h, cfg.roi_w), np.uint8)
 
 
@@ -191,8 +191,18 @@ def infer_stream(ckpt_path: str, stream_cfg: StreamConfig = StreamConfig(),
     from ..train.checkpoint import load_checkpoint
 
     params, meta, _ = load_checkpoint(ckpt_path)
+    if "input_dim" not in meta:
+        # the reference's own guard (inactive/live_feed.py:137-138): this
+        # mode is built for the 83-D streaming family, not e.g. the official
+        # BiGRU checkpoint (which would otherwise fail deep inside a trace)
+        kind = "official BiGRU" if "x_dim" in meta else "unrecognized"
+        raise ValueError(
+            f"infer-stream needs a GRUWordClassifier checkpoint "
+            f"(83-D streaming family, meta key 'input_dim'); {ckpt_path} "
+            f"looks like a {kind} checkpoint — use infer-live for it"
+        )
     id_to_label = {int(k): v for k, v in meta["id_to_label"].items()}
-    input_dim = int(meta.get("input_dim", 83))
+    input_dim = int(meta["input_dim"])
 
     @jax.jit
     def fwd(X):

@@ -17,25 +17,23 @@ from ..core.landmark_select import compute_selected_indices
 from ..core.landmarks import FIXED_IDXS
 from ..core.schema import Clip, clip_filename, save_clip
 from ..ops.features import extract_features_frame, span_norm_feature_frame
-from ..ops.roi import crop_resize_gray_batched
+from ..ops.roi import crop_resize_gray_frame_host
 from ..runtime.capture import (
     CameraSource,
     FaceLandmarkerSession,
     draw_landmark_points,
 )
 
-import jax.numpy as jnp
 
 
 def _crop_roi_host(frame_bgr, center, scale, cfg: RecorderConfig, mode: str):
-    """Single-frame ROI via the batched device kernel (B=T=1)."""
-    roi, ok = crop_resize_gray_batched(
-        jnp.asarray(frame_bgr[None, None]),
-        jnp.asarray(np.asarray(center, np.float32)[None, None]),
-        jnp.asarray(np.asarray([[scale]], np.float32)),
+    """Single-frame ROI on the host CPU (pure numpy — the capture loop must
+    never wait on a device compile/dispatch; same math as the batched device
+    kernel, equality pinned in tests/test_roi.py)."""
+    return crop_resize_gray_frame_host(
+        frame_bgr, center, scale,
         out_h=cfg.roi_h, out_w=cfg.roi_w, mode=mode, input_layout="bgr",
     )
-    return np.asarray(roi)[0, 0] if bool(np.asarray(ok)[0, 0]) else None
 
 
 def main(cfg: RecorderConfig = RecorderConfig(), model_path: str = "models/face_landmarker.task"):

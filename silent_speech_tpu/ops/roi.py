@@ -73,6 +73,68 @@ def make_resize_matrix(
         raise ValueError(f"unknown resize mode {mode!r}")
 
 
+def _make_resize_matrix_np(out_size, a, b, in_size, mode):
+    """Numpy mirror of make_resize_matrix for the host capture path."""
+    a = float(a)
+    b = float(b)
+    scale = (b - a) / float(out_size)
+    i = np.arange(out_size, dtype=np.float32)[:, None]
+    s = np.arange(in_size, dtype=np.float32)[None, :]
+    if mode == "area":
+        lo = a + i * scale
+        hi = a + (i + 1.0) * scale
+        overlap = np.clip(np.minimum(s + 1.0, hi) - np.maximum(s, lo), 0.0, 1.0)
+        return (overlap / scale).astype(np.float32)
+    elif mode == "linear":
+        src = a + (i + 0.5) * scale - 0.5
+        f = np.floor(src)
+        frac = src - f
+        f0 = np.clip(f, a, b - 1.0)
+        f1 = np.clip(f + 1.0, a, b - 1.0)
+        return ((1.0 - frac) * (s == f0) + frac * (s == f1)).astype(np.float32)
+    raise ValueError(f"unknown resize mode {mode!r}")
+
+
+def crop_resize_gray_frame_host(
+    frame: np.ndarray,
+    center,
+    scale: float,
+    *,
+    out_h: int = 48,
+    out_w: int = 96,
+    mode: str = "area",
+    input_layout: str = "bgr",
+    half_w_mul: float = 1.2,
+    half_h_mul: float = 1.0,
+    min_side: int = 2,
+):
+    """Single-frame gray+crop+resize in pure numpy — the capture-loop path.
+
+    Same math as crop_resize_gray_batched (identical matrices, rounding and
+    degenerate-box handling; pinned equal by tests/test_roi.py) but with zero
+    device involvement: a live recorder must not pay a 20-240 s first jit
+    compile over a TPU relay (or any per-frame dispatch) for a ~30 MFLOP
+    crop. Returns (out_h, out_w) uint8, or None when the crop degenerates
+    (the reference's skip condition, live_infer_official.py:181-182).
+    """
+    H, W = frame.shape[:2]
+    cx, cy = float(center[0]), float(center[1])
+    hw = half_w_mul * float(scale)
+    hh = half_h_mul * float(scale)
+    x1 = int(max(0.0, cx - hw))
+    x2 = int(min(float(W), cx + hw))
+    y1 = int(max(0.0, cy - hh))
+    y2 = int(min(float(H), cy + hh))
+    if not (x2 > x1 + min_side and y2 > y1 + min_side):
+        return None
+    lum = _LUMA_RGB if input_layout == "rgb" else _LUMA_RGB[::-1]
+    gray = frame.astype(np.float32) @ lum  # (H, W)
+    Wy = _make_resize_matrix_np(out_h, y1, y2, H, mode)
+    Wx = _make_resize_matrix_np(out_w, x1, x2, W, mode)
+    r = Wy @ gray @ Wx.T
+    return np.clip(np.round(r), 0.0, 255.0).astype(np.uint8)
+
+
 def resize_matrices(out_hw, y1, y2, x1, x2, in_hw, mode):
     oh, ow = out_hw
     ih, iw = in_hw

@@ -102,3 +102,32 @@ def test_degenerate_crop_yields_zero_roi(rng):
     ok = np.asarray(ok)
     assert not ok[0, 0] and ok[0, 1]
     assert np.asarray(roi)[0, 0].max() == 0
+
+
+def test_host_frame_path_equals_device_kernel(rng):
+    """crop_resize_gray_frame_host (the capture-loop path, pure numpy) must
+    equal crop_resize_gray_batched bit-for-bit, including the degenerate-box
+    convention."""
+    from silent_speech_tpu.ops.roi import (
+        crop_resize_gray_batched,
+        crop_resize_gray_frame_host,
+    )
+
+    frame = rng.integers(0, 256, (240, 320, 3), np.uint8)
+    for center, scale, mode in [((150.0, 120.0), 55.0, "area"),
+                                ((150.0, 120.0), 55.0, "linear"),
+                                ((10.0, 10.0), 40.0, "area"),   # clipped box
+                                ((300.0, 5.0), 30.0, "linear"),
+                                ((160.0, 120.0), 0.5, "area")]:  # degenerate
+        dev, ok = crop_resize_gray_batched(
+            jnp.asarray(frame)[None, None],
+            jnp.asarray(np.asarray(center, np.float32))[None, None],
+            jnp.asarray(np.asarray(scale, np.float32))[None, None],
+            mode=mode, input_layout="bgr",
+        )
+        host = crop_resize_gray_frame_host(frame, center, scale, mode=mode,
+                                           input_layout="bgr")
+        if not bool(np.asarray(ok)[0, 0]):
+            assert host is None
+            continue
+        np.testing.assert_array_equal(np.asarray(dev)[0, 0], host)
