@@ -1,6 +1,8 @@
 """VariantPredictor: dispatch by model tag + legacy torch schema loaders."""
 
 import numpy as np
+
+import jax.numpy as jnp
 import torch
 import torch.nn as nn
 
