@@ -113,3 +113,40 @@ def test_chunked_equals_full_scan(rng):
         np.testing.assert_allclose(np.asarray(got), np.asarray(full),
                                    atol=1e-5, err_msg=f"chunk={chunk}")
         assert len(carries) == 2
+
+
+def test_gru_parity_random_config_sweep(rng):
+    """Randomized shape sweep: masked-scan GRU vs torch across 8 random
+    (layers, hidden, D, B, T, bidirectional) configurations."""
+    import torch
+
+    from silent_speech_tpu.core.torch_import import import_gru_stack
+
+    r = np.random.default_rng(123)
+    for _ in range(8):
+        L = int(r.integers(1, 4))
+        H = int(r.integers(3, 40))
+        D = int(r.integers(2, 50))
+        B = int(r.integers(1, 7))
+        T = int(r.integers(2, 20))
+        bidir = bool(r.integers(0, 2))
+        torch.manual_seed(int(r.integers(0, 10_000)))
+        tg = torch.nn.GRU(D, H, num_layers=L, batch_first=True,
+                          bidirectional=bidir)
+        sd = {f"gru.{k}": v for k, v in tg.state_dict().items()}
+        params = import_gru_stack(sd, "gru", L, bidir)
+        X = r.standard_normal((B, T, D)).astype(np.float32)
+        lengths = r.integers(1, T + 1, B).astype(np.int32)
+        lengths[0] = T
+
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            torch.from_numpy(X), torch.from_numpy(lengths.astype(np.int64)),
+            batch_first=True, enforce_sorted=False)
+        out_p, _ = tg(packed)
+        ref, _ = torch.nn.utils.rnn.pad_packed_sequence(
+            out_p, batch_first=True, total_length=T)
+
+        ours, _ = bigru(jnp.asarray(X), jnp.asarray(lengths), params,
+                        bidirectional=bidir)
+        np.testing.assert_allclose(np.asarray(ours), ref.detach().numpy(),
+                                   atol=2e-4, rtol=1e-4)

@@ -144,3 +144,48 @@ def test_native_loader_zip64_falls_back_to_numpy(tmp_path):
     assert lengths[0] == 8 and roi is None
     np.testing.assert_allclose(Xa[0, :8], X, atol=1e-6)
     assert not Xa[0, 8:].any()
+
+
+def test_corrupt_npz_fuzz_sweep(tmp_path, rng):
+    """Deterministic fuzz: random truncations/bitflips of a valid clip must
+    produce named errors (native loader) or clean exceptions (schema loader),
+    never crashes or silent garbage."""
+    from silent_speech_tpu.core.schema import Clip, load_clip, save_clip
+    from silent_speech_tpu.data.native_loader import (
+        NativeLoaderError,
+        load_corpus_arrays,
+    )
+
+    good = str(tmp_path / "synth_yes_1700000000_0000.npz")
+    clip = Clip(
+        X=rng.standard_normal((12, 180)).astype(np.float32),
+        ts=np.arange(12, dtype=np.int32), label="yes", speaker="synth",
+        idxs=np.arange(88, dtype=np.int32),
+        roi=rng.integers(0, 256, (12, 48, 96), np.uint8),
+    )
+    save_clip(clip, good)
+    blob = open(good, "rb").read()
+
+    for i in range(20):
+        r = np.random.default_rng(1000 + i)
+        data = bytearray(blob)
+        if i % 2 == 0:  # truncate
+            data = data[: r.integers(1, len(data))]
+        else:  # flip a few bytes
+            for _ in range(4):
+                data[int(r.integers(0, len(data)))] ^= int(r.integers(1, 256))
+        bad = str(tmp_path / f"synth_yes_1700000000_{i + 1:04d}.npz")
+        open(bad, "wb").write(bytes(data))
+        # schema loader: clean exception or a successfully parsed clip
+        try:
+            load_clip(bad)
+        except Exception as e:  # noqa: BLE001
+            assert not isinstance(e, (SystemExit, MemoryError))
+        # native loader: named failure or successful load, never a crash
+        try:
+            X, roi, lengths, has_roi = load_corpus_arrays([bad], 20, 180, True)
+            assert np.isfinite(X).all()
+        except NativeLoaderError as e:
+            assert e.failures and e.failures[0][0] == bad
+        except Exception as e:  # noqa: BLE001
+            assert not isinstance(e, (SystemExit, MemoryError))

@@ -101,3 +101,13 @@ def test_record_timed_mp4_parameters_encode_with_real_cv2(tmp_path, rng):
         n += 1
     cap.release()
     assert n == len(frames)
+
+
+def test_camera_probe_with_real_cv2_fails_cleanly():
+    """CameraSource's index-fallback probing executes against real OpenCV
+    (no camera device in this env) and raises the clean RuntimeError rather
+    than crashing inside cv2."""
+    from silent_speech_tpu.runtime.capture import CameraSource
+
+    with pytest.raises(RuntimeError, match="Could not open camera"):
+        CameraSource(37, fallbacks=(38, 39))
