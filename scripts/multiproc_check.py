@@ -72,8 +72,11 @@ def worker(args):
             process_id=args.process_id,
         )
         assert jax.process_count() == args.num_processes
-    assert jax.device_count() == N_PROCESSES * DEVICES_PER_PROCESS, (
-        f"global device count {jax.device_count()}"
+    # expected global devices = slices (dcn) x devices-per-slice — derived
+    # from args, not the module constant, so a --procs parent override works
+    assert jax.device_count() == args.dcn * DEVICES_PER_PROCESS, (
+        f"global device count {jax.device_count()} != "
+        f"{args.dcn} * {DEVICES_PER_PROCESS}"
     )
 
     from silent_speech_tpu.parallel.multihost import make_multislice_mesh
@@ -178,10 +181,15 @@ def main():
     ap.add_argument("--dcn", type=int, default=1)
     ap.add_argument("--out", default="")
     ap.add_argument("--tmpdir", default=os.path.join(REPO, "build", "multiproc"))
+    ap.add_argument("--procs", type=int, default=0,
+                    help="override N_PROCESSES for the parent run")
     args = ap.parse_args()
     if args.worker:
         worker(args)
     else:
+        if args.procs:
+            global N_PROCESSES
+            N_PROCESSES = args.procs
         parent(args.tmpdir)
 
 
