@@ -50,6 +50,10 @@ bool read_file(const char* path, std::vector<uint8_t>& out) {
     if (!f) return false;
     fseek(f, 0, SEEK_END);
     long sz = ftell(f);
+    if (sz < 0) {
+        fclose(f);
+        return false;
+    }
     fseek(f, 0, SEEK_SET);
     out.resize((size_t)sz);
     bool ok = fread(out.data(), 1, (size_t)sz, f) == (size_t)sz;
@@ -89,14 +93,23 @@ int parse_zip(const std::vector<uint8_t>& buf, std::vector<Entry>& entries) {
         if (e.comp_size == 0xFFFFFFFFu || e.raw_size == 0xFFFFFFFFu ||
             lho == 0xFFFFFFFFu)
             return 2;  // per-entry zip64 sentinels
+        if (p + 46 + (size_t)name_len > buf.size()) return 1;
         e.name.assign((const char*)&buf[p + 46], name_len);
         // local header gives the actual data offset
-        if (lho + 30 > buf.size() || rd32(&buf[lho]) != 0x04034b50) return 1;
+        if ((size_t)lho + 30 > buf.size() || rd32(&buf[lho]) != 0x04034b50)
+            return 1;
         uint16_t lname = rd16(&buf[lho + 26]);
         uint16_t lextra = rd16(&buf[lho + 28]);
-        e.data_offset = lho + 30 + lname + lextra;
+        e.data_offset = (uint64_t)lho + 30 + lname + lextra;
+        // the entry's data must lie inside the file (corrupt/truncated
+        // containers must fail parse, not read out of bounds)
+        uint64_t span = e.method == 0 ? e.raw_size : e.comp_size;
+        if (e.data_offset > buf.size() || span > buf.size() - e.data_offset)
+            return 1;
+        // decompression-bomb guard: a clip array is bounded in practice
+        if (e.raw_size > (1ull << 31)) return 1;
         entries.push_back(std::move(e));
-        p += 46 + name_len + extra_len + cmt_len;
+        p += 46 + (size_t)name_len + extra_len + cmt_len;
     }
     return 0;
 }
@@ -116,7 +129,7 @@ bool inflate_raw(const uint8_t* src, size_t src_len, uint8_t* dst,
 }
 
 bool parse_npy(std::vector<uint8_t>&& blob, Npy& out) {
-    if (blob.size() < 10 || std::memcmp(blob.data(), "\x93NUMPY", 6) != 0)
+    if (blob.size() < 12 || std::memcmp(blob.data(), "\x93NUMPY", 6) != 0)
         return false;
     uint8_t major = blob[6];
     size_t hlen, hoff;
@@ -127,24 +140,31 @@ bool parse_npy(std::vector<uint8_t>&& blob, Npy& out) {
         hlen = rd32(&blob[8]);
         hoff = 12;
     }
-    if (hoff + hlen > blob.size()) return false;
+    if (hlen > blob.size() || hoff > blob.size() - hlen) return false;
     std::string hdr((const char*)&blob[hoff], hlen);
-    // descr
+    // descr — every find() is npos-guarded: an exception thrown through the
+    // extern "C" ctypes boundary would abort the process
     size_t dp = hdr.find("'descr'");
     if (dp == std::string::npos) return false;
     size_t q1 = hdr.find('\'', dp + 7);
+    if (q1 == std::string::npos) return false;
     size_t q2 = hdr.find('\'', q1 + 1);
+    if (q2 == std::string::npos) return false;
     std::string descr = hdr.substr(q1 + 1, q2 - q1 - 1);
     if (descr.size() < 2) return false;
     size_t ti = (descr[0] == '<' || descr[0] == '|' || descr[0] == '>') ? 1 : 0;
     if (descr[0] == '>') return false;  // big-endian unsupported
     out.dtype = descr[ti];
     out.itemsize = std::atoi(descr.c_str() + ti + 1);
+    if (out.itemsize <= 0 || out.itemsize > 16) return false;
     if (hdr.find("'fortran_order': True") != std::string::npos) return false;
     // shape
     size_t sp = hdr.find("'shape':");
+    if (sp == std::string::npos) return false;
     size_t po = hdr.find('(', sp);
+    if (po == std::string::npos) return false;
     size_t pc = hdr.find(')', po);
+    if (pc == std::string::npos) return false;
     std::string shp = hdr.substr(po + 1, pc - po - 1);
     out.shape.clear();
     const char* s = shp.c_str();
@@ -153,6 +173,17 @@ bool parse_npy(std::vector<uint8_t>&& blob, Npy& out) {
         if (!*s) break;
         out.shape.push_back(strtoull(s, (char**)&s, 10));
     }
+    // the payload must actually hold shape-product items: a header that
+    // declares more data than exists would turn every downstream memcpy
+    // into an out-of-bounds read
+    uint64_t count = 1;
+    for (uint64_t dim : out.shape) {
+        if (dim > (1ull << 32)) return false;
+        count *= dim;
+        if (count > (1ull << 33)) return false;
+    }
+    uint64_t payload = blob.size() - hoff - hlen;
+    if (count * (uint64_t)out.itemsize > payload) return false;
     out.owned = std::move(blob);
     out.data = out.owned.data() + hoff + hlen;
     return true;

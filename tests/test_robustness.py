@@ -189,3 +189,26 @@ def test_corrupt_npz_fuzz_sweep(tmp_path, rng):
             assert e.failures and e.failures[0][0] == bad
         except Exception as e:  # noqa: BLE001
             assert not isinstance(e, (SystemExit, MemoryError))
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_loader_rejects_lying_npy_shape(tmp_path):
+    """An npy header declaring far more data than the payload holds must be
+    a named per-file failure, never an out-of-bounds read."""
+    import zipfile
+
+    from silent_speech_tpu.data.native_loader import NativeLoaderError
+
+    hdr_dict = "{'descr': '<f4', 'fortran_order': False, 'shape': (4096, 180), }"
+    pad = 64 - ((10 + len(hdr_dict)) % 64)
+    hdr = hdr_dict + " " * (pad - 1) + "\n"
+    blob = (b"\x93NUMPY\x01\x00" + len(hdr).to_bytes(2, "little")
+            + hdr.encode() + b"\x00" * 16)  # 16 bytes << 4096*180*4
+    path = str(tmp_path / "synth_yes_1700000000_0001.npz")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("X.npy", blob)
+
+    with pytest.raises(NativeLoaderError) as ei:
+        load_corpus_arrays([path], 40, 180, False)
+    (p, code, reason), = ei.value.failures
+    assert p == path and code == -3
