@@ -176,14 +176,16 @@ bool parse_npy(std::vector<uint8_t>&& blob, Npy& out) {
     // the payload must actually hold shape-product items: a header that
     // declares more data than exists would turn every downstream memcpy
     // into an out-of-bounds read
+    const uint64_t kMaxCount = 1ull << 33;
     uint64_t count = 1;
     for (uint64_t dim : out.shape) {
-        if (dim > (1ull << 32)) return false;
+        if (dim >= (1ull << 32)) return false;
+        // overflow-safe product bound: check via division BEFORE multiplying
+        if (dim != 0 && count > kMaxCount / dim) return false;
         count *= dim;
-        if (count > (1ull << 33)) return false;
     }
     uint64_t payload = blob.size() - hoff - hlen;
-    if (count * (uint64_t)out.itemsize > payload) return false;
+    if (count > payload / (uint64_t)out.itemsize) return false;
     out.owned = std::move(blob);
     out.data = out.owned.data() + hoff + hlen;
     return true;

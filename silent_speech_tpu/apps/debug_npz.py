@@ -16,7 +16,7 @@ def try_dir(d: str) -> bool:
     print(f"{d}: {len(paths)} npz files")
     if not paths:
         return False
-    with np.load(paths[0], allow_pickle=True) as z:
+    with np.load(paths[0], allow_pickle=False) as z:
         print(" first:", os.path.basename(paths[0]))
         for k in z.files:
             v = z[k]

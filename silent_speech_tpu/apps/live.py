@@ -191,18 +191,20 @@ def infer_stream(ckpt_path: str, stream_cfg: StreamConfig = StreamConfig(),
     from ..train.checkpoint import load_checkpoint
 
     params, meta, _ = load_checkpoint(ckpt_path)
-    if "input_dim" not in meta:
+    if "input_dim" not in meta and ("x_dim" in meta or "vocab" in meta):
         # the reference's own guard (inactive/live_feed.py:137-138): this
-        # mode is built for the 83-D streaming family, not e.g. the official
-        # BiGRU checkpoint (which would otherwise fail deep inside a trace)
-        kind = "official BiGRU" if "x_dim" in meta else "unrecognized"
+        # mode is built for the 83-D streaming family, not the official
+        # BiGRU / CTC checkpoints (which would otherwise fail deep inside a
+        # trace after a long TPU compile)
+        kind = "official BiGRU" if "x_dim" in meta else "CTC"
         raise ValueError(
             f"infer-stream needs a GRUWordClassifier checkpoint "
-            f"(83-D streaming family, meta key 'input_dim'); {ckpt_path} "
-            f"looks like a {kind} checkpoint — use infer-live for it"
+            f"(83-D streaming family); {ckpt_path} looks like a {kind} "
+            f"checkpoint — use "
+            f"{'infer-live' if kind != 'CTC' else 'infer-ctc'} for it"
         )
     id_to_label = {int(k): v for k, v in meta["id_to_label"].items()}
-    input_dim = int(meta["input_dim"])
+    input_dim = int(meta.get("input_dim", 83))  # the family's fixed default
 
     @jax.jit
     def fwd(X):

@@ -64,8 +64,14 @@ class Clip:
 
 
 def load_clip(path: str) -> Clip:
-    """Read one `.npz` clip, tolerating missing optional keys."""
-    with np.load(path, allow_pickle=True) as d:
+    """Read one `.npz` clip, tolerating missing optional keys.
+
+    allow_pickle stays False everywhere: the reference schema holds only
+    numeric and unicode-string arrays (record_landmarks_official.py:236-251),
+    and a pickled object array in an untrusted corpus would execute code at
+    load time.
+    """
+    with np.load(path, allow_pickle=False) as d:
         files = set(d.files)
         if "X" not in files:
             raise ValueError(f"{path}: missing required key 'X'")

@@ -42,7 +42,7 @@ def scan_corpus(clip_dir: str, verbose: bool = True) -> CorpusIndex:
         raise RuntimeError(f"No .npz files found in {clip_dir}")
     labels, dims, has_roi, sigs = [], [], [], []
     for f in files:
-        with np.load(f, allow_pickle=True) as d:
+        with np.load(f, allow_pickle=False) as d:
             labels.append(str(d["label"]) if "label" in d.files else "")
             dims.append(int(d["X"].shape[1]))
             has_roi.append("roi" in d.files)

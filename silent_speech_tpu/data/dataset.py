@@ -96,7 +96,7 @@ def build_device_dataset(
                 except ValueError:
                     lab = None
                 if lab is None or lab not in label_to_id:
-                    with np.load(f, allow_pickle=True) as d:
+                    with np.load(f, allow_pickle=False) as d:
                         lab = str(d["label"])
                 labels.append(lab)
             return DeviceDataset(

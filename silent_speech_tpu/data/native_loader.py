@@ -60,17 +60,27 @@ def load_corpus_arrays(
     has_roi = np.zeros(N, np.int32)
 
     def _py_load_one(i: int, f: str) -> None:
-        from ..core.schema import fix_dim, load_clip
+        # array-only read (mirrors the native loader: no label needed,
+        # allow_pickle stays False — see core.schema.load_clip docstring)
+        from ..core.schema import fix_dim
 
-        c = load_clip(f)
-        if use_roi:
-            c = c.aligned()
-        Xi = fix_dim(c.X, x_dim)
-        T = min(c.T, max_t)
+        with np.load(f, allow_pickle=False) as z:
+            Xi = np.asarray(z["X"], np.float32)
+            if Xi.ndim != 2:
+                raise ValueError(f"{f}: X must be (T, D), got {Xi.shape}")
+            Ri = (np.asarray(z["roi"], np.uint8)
+                  if use_roi and "roi" in z.files else None)
+        if Ri is not None:
+            if Ri.ndim != 3 or Ri.shape[1:] != (H, W):
+                raise ValueError(f"{f}: roi shape {Ri.shape} != (T,{H},{W})")
+            m = min(len(Xi), len(Ri))  # conservative X/roi alignment
+            Xi, Ri = Xi[:m], Ri[:m]
+        Xi = fix_dim(Xi, x_dim)
+        T = min(len(Xi), max_t)
         X[i, :T] = Xi[:T]
         lengths[i] = T
-        if use_roi and c.roi is not None:
-            roi[i, :T] = c.roi[:T]
+        if Ri is not None:
+            roi[i, :T] = Ri[:T]
             has_roi[i] = 1
         else:
             has_roi[i] = 0

@@ -74,8 +74,8 @@ class Predictor:
         self._fwd = _fwd
 
     @classmethod
-    def from_checkpoint(cls, path: str, **kw) -> "Predictor":
-        params, meta, _ = load_checkpoint(path)
+    def from_checkpoint(cls, path: str, _loaded=None, **kw) -> "Predictor":
+        params, meta, _ = _loaded if _loaded is not None else load_checkpoint(path)
         cfg = model.BiGRUConfig(
             x_dim=int(meta["x_dim"]),
             num_classes=len(meta["labels"]),
@@ -212,9 +212,10 @@ def load_predictor(path: str, **kw):
             f"(keys: {sorted(ckpt)})"
         )
 
-    _, meta, _ = load_checkpoint(path)
+    loaded = load_checkpoint(path)
+    meta = loaded[1]
     if meta.get("vocab"):
         raise ValueError(f"{path} is a CTC checkpoint — use infer-ctc / eval-ctc")
     if meta.get("model"):
-        return VariantPredictor.from_checkpoint(path)
-    return Predictor.from_checkpoint(path, **kw)
+        return VariantPredictor.from_checkpoint(path, _loaded=loaded)
+    return Predictor.from_checkpoint(path, _loaded=loaded, **kw)

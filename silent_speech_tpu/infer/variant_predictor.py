@@ -51,8 +51,8 @@ class VariantPredictor:
         self.cfg = types.SimpleNamespace(use_roi=False, roi_h=48, roi_w=96)
 
     @classmethod
-    def from_checkpoint(cls, path: str) -> "VariantPredictor":
-        params, meta, _ = load_checkpoint(path)
+    def from_checkpoint(cls, path: str, _loaded=None) -> "VariantPredictor":
+        params, meta, _ = _loaded if _loaded is not None else load_checkpoint(path)
         model = meta.get("model")
         if model == "reduced_bigru":
             fwd = lambda X: V.reduced_bigru_forward(params, X)

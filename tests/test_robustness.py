@@ -212,3 +212,61 @@ def test_native_loader_rejects_lying_npy_shape(tmp_path):
         load_corpus_arrays([path], 40, 180, False)
     (p, code, reason), = ei.value.failures
     assert p == path and code == -3
+
+
+def test_pickled_object_npz_is_refused(tmp_path):
+    """A pickled object array in a clip must be refused at load (pickle
+    execution is how a malicious corpus would run code); every loader uses
+    allow_pickle=False."""
+    bad = str(tmp_path / "synth_yes_1700000000_0001.npz")
+    np.savez(bad, X=np.zeros((6, 180), np.float32),
+             label=np.asarray({"evil": "payload"}, dtype=object))
+    with pytest.raises(ValueError, match="pickle"):
+        load_clip(bad)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_loader_rejects_overflowing_npy_shape(tmp_path):
+    """A shape whose product overflows uint64 must fail the payload guard,
+    not wrap around it."""
+    import zipfile
+
+    from silent_speech_tpu.data.native_loader import NativeLoaderError
+
+    hdr_dict = ("{'descr': '<f4', 'fortran_order': False, "
+                "'shape': (4294967295, 4294967295), }")
+    pad = 64 - ((10 + len(hdr_dict)) % 64)
+    hdr = hdr_dict + " " * (pad - 1) + "\n"
+    blob = (b"\x93NUMPY\x01\x00" + len(hdr).to_bytes(2, "little")
+            + hdr.encode() + b"\x00" * 64)
+    path = str(tmp_path / "synth_yes_1700000000_0002.npz")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("X.npy", blob)
+    with pytest.raises(NativeLoaderError) as ei:
+        load_corpus_arrays([path], 40, 180, False)
+    assert ei.value.failures[0][1] == -3
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_zip64_fallback_needs_no_label(tmp_path):
+    """The zip64 numpy fallback reads arrays only — an unparseable filename
+    (no label) must not fail a loadable archive (the native path never reads
+    labels either)."""
+    import io
+    import zipfile
+
+    X = np.random.default_rng(0).standard_normal((6, 180)).astype(np.float32)
+    buf = io.BytesIO()
+    np.lib.format.write_array(buf, X)
+    path = str(tmp_path / "big.npz")  # no underscore: label unparseable
+    orig_limit = zipfile.ZIP64_LIMIT
+    try:
+        zipfile.ZIP64_LIMIT = 0
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+            with zf.open(zipfile.ZipInfo("X.npy"), "w", force_zip64=True) as f:
+                f.write(buf.getvalue())
+    finally:
+        zipfile.ZIP64_LIMIT = orig_limit
+    Xa, roi, lengths, _ = load_corpus_arrays([path], 40, 180, False)
+    assert lengths[0] == 6
+    np.testing.assert_allclose(Xa[0, :6], X, atol=1e-6)
