@@ -32,6 +32,10 @@ class AugmentConfig:
     drop_prob: float = 0.35
     drop_max: int = 2
     drop_min_t: int = 12
+    # official drops interior frames only (np.random.choice(np.arange(1,T-1)),
+    # train_model_official.py:146-152); train_reduced samples from ALL
+    # positions incl. endpoints (random.sample(range(T), T-k), :112-114)
+    drop_interior_only: bool = True
     # extended (train_reduced) set — disabled by default to match official
     time_warp_prob: float = 0.0
     time_warp_lo: float = 0.8
@@ -44,7 +48,7 @@ class AugmentConfig:
 OFFICIAL_AUGMENT = AugmentConfig()
 REDUCED_AUGMENT = AugmentConfig(
     noise_prob=0.5, noise_std=0.015, drop_prob=0.3, drop_max=3, drop_min_t=15,
-    time_warp_prob=0.5, scale_jitter_prob=0.3,
+    drop_interior_only=False, time_warp_prob=0.5, scale_jitter_prob=0.3,
 )
 
 
@@ -72,24 +76,25 @@ def drop_frames(key, X, lengths, cfg: AugmentConfig):
     k = jax.random.randint(k_count, (B,), 1, cfg.drop_max + 1)
     k = jnp.where(gate, k, 0)
 
-    # choose k distinct interior indices per row: rank random scores over the
-    # interior positions, drop the k smallest-ranked
+    # choose k distinct candidate indices per row: rank random scores over
+    # the eligible positions, drop the k smallest-ranked
     pos = jnp.arange(T)[None, :]
-    interior = (pos >= 1) & (pos < (lengths - 1)[:, None])
+    if cfg.drop_interior_only:
+        eligible = (pos >= 1) & (pos < (lengths - 1)[:, None])
+    else:
+        eligible = pos < lengths[:, None]
     scores = jax.random.uniform(k_scores, (B, T))
-    scores = jnp.where(interior, scores, jnp.inf)
-    order = jnp.argsort(scores, axis=1)  # interior positions in random order
+    scores = jnp.where(eligible, scores, jnp.inf)
+    order = jnp.argsort(scores, axis=1)  # eligible positions in random order
     rank = jnp.argsort(order, axis=1)  # rank of each position in that order
     drop = rank < k[:, None]
 
-    keep = ~drop
     # stable argsort of drop flags -> kept indices first in original order
     perm = jnp.argsort(drop.astype(jnp.int32), axis=1, stable=True)
     Xc = jnp.take_along_axis(X, perm[..., None], axis=1)
     new_len = lengths - k.astype(lengths.dtype)
     valid = pos < new_len[:, None]
     Xc = jnp.where(valid[..., None], Xc, 0.0)
-    del keep
     return Xc, new_len
 
 
@@ -103,14 +108,19 @@ def time_warp(key, X, lengths, cfg: AugmentConfig):
     scale = jax.random.uniform(
         k_scale, (B,), minval=cfg.time_warp_lo, maxval=cfg.time_warp_hi
     )
-    new_len = jnp.clip(
-        jnp.maximum(5, (lengths.astype(jnp.float32) * scale).astype(jnp.int32)),
-        1, T,
+    # the reference resamples to warp_len = int(T_i * scale) samples THEN
+    # pad/trims to max_t (train_reduced.py:105-109 + pad_or_trim), so a
+    # slow-down past T must keep the stretched mapping and truncate the tail
+    # — mapping with the CLIPPED length would degenerate to the identity for
+    # full-length clips and silently erase the scale>1 half of the range
+    warp_len = jnp.maximum(
+        5, (lengths.astype(jnp.float32) * scale).astype(jnp.int32)
     )
-    new_len = jnp.where(gate, new_len, lengths)
+    warp_len = jnp.where(gate, warp_len, lengths)
+    new_len = jnp.clip(warp_len, 1, T)
 
     pos = jnp.arange(T)[None, :].astype(jnp.float32)
-    denom = jnp.maximum(new_len - 1, 1).astype(jnp.float32)[:, None]
+    denom = jnp.maximum(warp_len - 1, 1).astype(jnp.float32)[:, None]
     src = (pos * (lengths - 1)[:, None].astype(jnp.float32) / denom).astype(jnp.int32)
     src = jnp.clip(src, 0, T - 1)
     Xw = jnp.take_along_axis(X, src[..., None], axis=1)
@@ -133,7 +143,10 @@ def scale_jitter(key, X, lengths, cfg: AugmentConfig):
 
 def mixup(key, X, y_onehot, alpha: float = 0.2):
     """Batch mixup (inactive/train_reduced.py:36-53) on features and soft
-    labels. Returns (X_mix, y_mix)."""
+    labels. Returns (X_mix, y_mix). alpha <= 0 is the reference's
+    no-mix fallback (lam = 1) — beta(0, 0) would be NaN."""
+    if alpha <= 0:
+        return X, y_onehot
     k_lam, k_perm = jax.random.split(key)
     lam = jax.random.beta(k_lam, alpha, alpha)
     perm = jax.random.permutation(k_perm, X.shape[0])

@@ -65,9 +65,14 @@ def _ctc_alphas(log_probs, input_lengths, ext, allow_skip):
         allow_skip = jnp.pad(allow_skip, ((0, 0), (0, S_pad - S)))
         S = S_pad
 
-    # (B, S, C) one-hot of ext -> emissions (B, T, S) via one batched matmul
+    # (B, S, C) one-hot of ext -> emissions (B, T, S) via one batched matmul.
+    # precision=HIGHEST: on TPU the default f32 matmul is a bf16 decomposition
+    # that would round every log-prob to ~0.1 absolute at magnitude ~30 before
+    # it enters the lattice; the exact one-hot gather must not lose mantissa
+    # (negligible cost — this op is tiny next to the scan).
     ext_onehot = jax.nn.one_hot(ext, C, dtype=log_probs.dtype)  # (B, S, C)
-    emit = jnp.einsum("btc,bsc->bts", log_probs, ext_onehot)  # (B, T, S)
+    emit = jnp.einsum("btc,bsc->bts", log_probs, ext_onehot,
+                      precision=jax.lax.Precision.HIGHEST)  # (B, T, S)
 
     alpha0 = jnp.full((B, S), NEG_INF)
     alpha0 = alpha0.at[:, 0].set(emit[:, 0, 0])

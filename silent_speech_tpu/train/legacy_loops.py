@@ -86,6 +86,8 @@ class ReducedConfig:
     val_frac: float = 0.15
     plateau_factor: float = 0.5
     plateau_patience: int = 10
+    early_stop_patience: int = 40  # inactive/train_reduced.py:260-262
+    grad_clip_norm: float = 1.0  # nn.utils.clip_grad_norm_ (:223)
 
 
 def train_reduced(cfg: ReducedConfig = ReducedConfig(), verbose=True) -> dict:
@@ -107,14 +109,20 @@ def train_reduced(cfg: ReducedConfig = ReducedConfig(), verbose=True) -> dict:
     key, k0 = jax.random.split(key)
     params = V.init_reduced_bigru(k0, d_in, num_classes, hidden=cfg.hidden)
 
-    # Adam with a host-controlled LR scale (ReduceLROnPlateau equivalent)
+    # Adam + global-norm clip 1.0 (inactive/train_reduced.py:223) with a
+    # host-controlled LR scale (ReduceLROnPlateau equivalent)
     opt = optax.inject_hyperparams(
         lambda learning_rate: optax.chain(
-            optax.clip_by_global_norm(1e9), optax.adam(learning_rate))
+            optax.clip_by_global_norm(cfg.grad_clip_norm),
+            optax.adam(learning_rate))
     )(learning_rate=cfg.lr)
     opt_state = opt.init(params)
 
     def loss_fn(params, X, lengths, y_soft, rng):
+        # lengths/rng unused ON PURPOSE: the reference mean-pools over padding
+        # too (GRUClassifier.forward, train_reduced.py:141-145) — do not
+        # 'fix' this to a masked pool, it would break checkpoint parity
+        del lengths, rng
         logits = V.reduced_bigru_forward(params, X)
         return jnp.mean(optax.softmax_cross_entropy(logits, y_soft))
 
@@ -132,7 +140,10 @@ def train_reduced(cfg: ReducedConfig = ReducedConfig(), verbose=True) -> dict:
     fwd = jax.jit(V.reduced_bigru_forward)
     sampler = np.random.default_rng(cfg.seed)
     best, best_params = 0.0, jax.tree.map(np.asarray, params)
-    lr_now, bad_plateau = cfg.lr, 0
+    # two counters, as in the reference: the save/early-stop patience
+    # (train_reduced.py:249,260-262) and ReduceLROnPlateau's internal one
+    # (torch semantics: rel threshold 1e-4, reduce when bad > patience)
+    lr_now, bad_plateau, bad_stop, best_sched = cfg.lr, 0, 0, 0.0
     meta = dict(x_dim=d_in, max_t=cfg.max_t, labels=sorted(label_to_id),
                 label_to_id=label_to_id,
                 id_to_label={str(k): v for k, v in id_to_label.items()},
@@ -154,12 +165,22 @@ def train_reduced(cfg: ReducedConfig = ReducedConfig(), verbose=True) -> dict:
             print(f"ep {ep:03d} | loss {ep_loss / max(1, nb):.4f} | "
                   f"val {acc:.3f} | lr {lr_now:.2e}")
         if acc > best:
-            best, bad_plateau = acc, 0
+            best, bad_stop = acc, 0
             best_params = jax.tree.map(np.asarray, params)
             save_checkpoint(cfg.out_path, best_params, meta)
         else:
+            bad_stop += 1
+            if bad_stop >= cfg.early_stop_patience:
+                if verbose:
+                    print("Early stopping")
+                break
+        # ReduceLROnPlateau(mode='max'): improvement = acc > best*(1+1e-4);
+        # reduce on the (patience+1)-th consecutive bad epoch
+        if acc > best_sched * (1.0 + 1e-4):
+            best_sched, bad_plateau = acc, 0
+        else:
             bad_plateau += 1
-            if bad_plateau >= cfg.plateau_patience:
+            if bad_plateau > cfg.plateau_patience:
                 lr_now *= cfg.plateau_factor
                 opt_state.hyperparams["learning_rate"] = jnp.asarray(lr_now)
                 bad_plateau = 0
@@ -215,7 +236,10 @@ def add_deltas(X: np.ndarray) -> np.ndarray:
 
 
 def zscore_per_clip(X: np.ndarray) -> np.ndarray:
-    return (X - X.mean(0, keepdims=True)) / (X.std(0, keepdims=True) + 1e-6)
+    # single normalization contract shared with the legacy eval pipelines
+    from ..infer.evaluator import zscore
+
+    return zscore(X)
 
 
 def _unigru_preprocess(files, cfg: UniGRUConfig, d_target, label_to_id):

@@ -162,3 +162,52 @@ def test_time_warp_and_mixup(rng):
 def test_top_confusions_format():
     out = top_confusions([0, 0, 1, 2], [1, 1, 1, 0], {0: "a", 1: "b", 2: "c"})
     assert out[0] == "a→b(2)" and "c→a(1)" in out
+
+
+def test_time_warp_slowdown_stretches_then_truncates(rng):
+    """scale > 1 on a full-length clip must reproduce the reference's
+    stretch-then-truncate (linspace to int(T*scale) samples, keep the first
+    max_t) — not degenerate to the identity (round-2 review fix)."""
+    key = jax.random.PRNGKey(5)
+    B, T, D = 2, 60, 3
+    X = rng.standard_normal((B, T, D)).astype(np.float32)
+    lengths = np.full((B,), T, np.int32)
+    cfg = AugmentConfig(time_warp_prob=1.0, time_warp_lo=1.2, time_warp_hi=1.2)
+    Xw, Lw = time_warp(key, jnp.asarray(X), jnp.asarray(lengths), cfg)
+    Xw, Lw = np.asarray(Xw), np.asarray(Lw)
+    assert (Lw == T).all()
+    # reference mapping: warp_len = int(60*1.2) = 72; element j of the
+    # warped stream = X[int(j*(60-1)/(72-1))]; we keep the first 60
+    warp_len = int(T * 1.2)
+    src = (np.arange(T) * (T - 1) / (warp_len - 1)).astype(np.int32)
+    for b in range(B):
+        np.testing.assert_allclose(Xw[b], X[b][src], atol=1e-6)
+    assert not np.allclose(Xw[0], X[0])  # genuinely warped
+
+
+def test_drop_frames_all_positions_for_reduced(rng):
+    """REDUCED_AUGMENT samples drops from every position (incl. endpoints),
+    as random.sample(range(T)) in train_reduced.py:112-114."""
+    from silent_speech_tpu.data.augment import REDUCED_AUGMENT
+    import dataclasses as _dc
+
+    T = 20
+    X = np.arange(T, dtype=np.float32)[None, :, None].repeat(64, axis=0)
+    lengths = np.full((64,), T, np.int32)
+    cfg = _dc.replace(REDUCED_AUGMENT, drop_prob=1.0, drop_max=3)
+    Xd, Ld = drop_frames(jax.random.PRNGKey(7), jnp.asarray(X),
+                         jnp.asarray(lengths), cfg)
+    Xd, Ld = np.asarray(Xd), np.asarray(Ld)
+    first_dropped = sum(Xd[b, 0, 0] != 0.0 for b in range(64))
+    last_dropped = sum(Xd[b, Ld[b] - 1, 0] != T - 1 for b in range(64))
+    assert first_dropped > 0 and last_dropped > 0  # endpoints do get dropped
+
+
+def test_mixup_alpha_zero_is_identity(rng):
+    from silent_speech_tpu.data.augment import mixup as _mixup
+
+    X = jnp.asarray(rng.standard_normal((4, 10, 6)).astype(np.float32))
+    y = jax.nn.one_hot(jnp.asarray([0, 1, 2, 3]), 4)
+    Xm, ym = _mixup(jax.random.PRNGKey(0), X, y, alpha=0.0)
+    np.testing.assert_array_equal(np.asarray(Xm), np.asarray(X))
+    np.testing.assert_array_equal(np.asarray(ym), np.asarray(y))
