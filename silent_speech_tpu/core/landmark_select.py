@@ -19,17 +19,33 @@ from typing import Iterable, Optional
 
 import numpy as np
 
-from .landmarks import CHEEKS, MESH_POINTS
+from .landmarks import MESH_POINTS
 
-# Nose landmarks excluded from lower-face selections
-# (important_landmarks.py:17-31).
+# Nose landmarks excluded from lower-face selections — the exact 48-entry
+# "fat" set shared by important_landmarks.py:17-31 and
+# inactive/lower_face_record.py:23-34.
 NOSE_SET = frozenset(
-    [1, 2, 4, 5, 6, 19, 94, 97, 98, 99, 115, 164, 165, 167, 220,
-     278, 294, 326, 327, 328, 344, 391, 393, 440]
+    [1, 2, 4, 5, 6, 19, 20,
+     168, 197, 195, 193, 122, 196, 3,
+     45, 44, 48, 49, 51, 52, 53,
+     275, 274, 278, 279, 281, 282, 283,
+     114, 115, 131, 134, 102,
+     343, 344, 360, 363, 331,
+     94, 97, 99, 100, 101,
+     328, 326, 327, 294, 305]
 )
 
-# Nose-base cutoff anchor: selection keeps landmarks below this point's y.
-NOSE_BASE_IDX = 2
+# Cutoff anchors: the selection keeps landmarks below max-y of the
+# nose-BOTTOM points plus a margin (important_landmarks.py:34-35,
+# lower_face_record.py:36,48-49) — not a single nose-tip point.
+NOSE_BOTTOM_FOR_CUTOFF = (2, 94, 97, 328, 326)
+CUT_MARGIN = 0.003
+
+# The dynamic-selection scripts' own cheek outline (lower_face_record.py:
+# 38-40) — distinct from the official recorder's CHEEKS set.
+LEFT_CHEEK = (234, 93, 132, 58, 172, 136, 150, 149, 176, 148, 152, 377)
+RIGHT_CHEEK = (454, 323, 361, 288, 397, 365, 379, 378, 400, 377, 152, 148)
+CHEEK_SET = frozenset(LEFT_CHEEK + RIGHT_CHEEK)
 
 
 def expand_by_index_neighbors(idx_set: Iterable[int], k: int) -> set[int]:
@@ -51,16 +67,20 @@ def expand_by_index_neighbors(idx_set: Iterable[int], k: int) -> set[int]:
 def compute_selected_indices(
     landmarks_xy: np.ndarray,
     *,
-    cutoff_idx: int = NOSE_BASE_IDX,
-    cheeks: Iterable[int] = CHEEKS,
+    cutoff_idxs: Iterable[int] = NOSE_BOTTOM_FOR_CUTOFF,
+    margin: float = CUT_MARGIN,
+    cheeks: Iterable[int] = CHEEK_SET,
     exclude: Iterable[int] = NOSE_SET,
 ) -> np.ndarray:
-    """Dynamic lower-face selection from one frame's normalized landmarks:
-    every mesh point whose y is below the cutoff anchor's y, plus the cheek
-    set, minus the nose set. Returns sorted indices."""
+    """Dynamic lower-face selection from one frame's normalized landmarks
+    (lower_face_record.py:48-62 rule, exact): every mesh point whose y lies
+    below max-y of the nose-bottom anchors plus CUT_MARGIN, or in the cheek
+    set — minus the nose set. Returns sorted indices. The index set (and so
+    the recorded feature dim) must match reference-recorded corpora
+    point-for-point."""
     lm = np.asarray(landmarks_xy)
-    cutoff_y = lm[cutoff_idx, 1]
-    below = set(np.where(lm[:, 1] > cutoff_y)[0].tolist())
+    cut_y = float(lm[list(cutoff_idxs), 1].max()) + margin
+    below = set(np.where(lm[:, 1] > cut_y)[0].tolist())
     sel = (below | set(cheeks)) - set(exclude)
     return np.asarray(sorted(sel), dtype=np.int32)
 

@@ -87,17 +87,17 @@ def build_device_dataset(
             X, roi, lengths, _ = load_corpus_arrays(
                 files, max_t, x_dim, use_roi, roi_hw
             )
-            # labels: known ids resolve from the filename convention without
-            # reopening archives; anything unparseable falls back to np.load
+            # labels: the npz 'label' entry is authoritative (the reference's
+            # NPZWordDataset reads it; a filename-first rule would silently
+            # mislabel clips whose speaker id contains an underscore);
+            # reading one tiny zip member per file is cheap — no array
+            # decompression happens
             labels = []
             for f in files:
-                try:
+                with np.load(f, allow_pickle=False) as d:
+                    lab = str(d["label"]) if "label" in d.files else None
+                if lab is None:
                     lab = parse_filename_label(f)
-                except ValueError:
-                    lab = None
-                if lab is None or lab not in label_to_id:
-                    with np.load(f, allow_pickle=False) as d:
-                        lab = str(d["label"])
                 labels.append(lab)
             return DeviceDataset(
                 X=put(X),

@@ -102,17 +102,19 @@ def gru_word_classifier_forward(params, X, *, train=False, rng=None,
     reference's ``out.mean(dim=1)`` on zero-padded windows."""
     B, T, _ = X.shape
     lengths = jnp.full((B,), T, dtype=jnp.int32)
-    if train and rng is not None:
+    use_dropout = train and rng is not None  # rng=None -> eval-style, no crash
+    if use_dropout:
         rng, gru_rng, head_rng = jax.random.split(rng, 3)
     else:
         gru_rng = head_rng = None
     out, _ = gru_ops.bigru(X, lengths, params["gru"], bidirectional=True,
-                           dropout_rate=dropout_rate, train=train, rng=gru_rng)
+                           dropout_rate=dropout_rate, train=use_dropout,
+                           rng=gru_rng)
     pooled = masked_mean_pool(out)
     h = layer_norm(pooled, params["head"]["ln"])
     h = jax.nn.relu(dense(h, params["head"]["fc1"]))
-    if train:
-        h = dropout(h, head_dropout, head_rng, train)
+    if use_dropout:
+        h = dropout(h, head_dropout, head_rng, True)
     return dense(h, params["head"]["fc2"])
 
 

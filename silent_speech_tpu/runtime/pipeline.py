@@ -84,27 +84,36 @@ class LivePipeline:
         self._consumed = 0
 
     def _producer(self):
-        for feat, roi, ts in self.source:
-            if self._stop.is_set():
-                break
-            with self.timer.stage("pack_push"):
-                payload = self.packer.pack(feat, roi)
-                self.ring.push(payload, stamp=int(ts))
-            self._produced += 1
+        try:
+            for feat, roi, ts in self.source:
+                if self._stop.is_set():
+                    break
+                with self.timer.stage("pack_push"):
+                    payload = self.packer.pack(feat, roi)
+                    self.ring.push(payload, stamp=int(ts))
+                self._produced += 1
+        except BaseException as e:  # surfaced by run(); a silent daemon
+            self._error = e         # death would report success-shaped stats
+            self._stop.set()
 
     def _consumer(self):
-        while not self._stop.is_set() or len(self.ring):
-            item = self.ring.pop()
-            if item is None:
-                time.sleep(0.0005)
-                continue
-            payload, ts = item
-            feat, roi = self.packer.unpack(payload)
-            with self.timer.stage("sink"):
-                self.sink(feat, roi, ts)
-            self._consumed += 1
+        try:
+            while not self._stop.is_set() or len(self.ring):
+                item = self.ring.pop()
+                if item is None:
+                    time.sleep(0.0005)
+                    continue
+                payload, ts = item
+                feat, roi = self.packer.unpack(payload)
+                with self.timer.stage("sink"):
+                    self.sink(feat, roi, ts)
+                self._consumed += 1
+        except BaseException as e:
+            self._error = e
+            self._stop.set()
 
     def run(self, timeout: Optional[float] = None):
+        self._error: Optional[BaseException] = None
         tp = threading.Thread(target=self._producer, daemon=True)
         tc = threading.Thread(target=self._consumer, daemon=True)
         tp.start()
@@ -112,6 +121,11 @@ class LivePipeline:
         tp.join(timeout)
         self._stop.set()
         tc.join(timeout)
+        if self._error is not None:
+            raise RuntimeError(
+                f"pipeline worker failed after produced={self._produced} "
+                f"consumed={self._consumed}"
+            ) from self._error
         return dict(
             produced=self._produced,
             consumed=self._consumed,

@@ -88,10 +88,17 @@ def train_ctc(cfg: CTCTrainConfig, verbose: bool = True) -> dict:
         val_files += fs[:n_val]
         train_files += fs[n_val:]
 
+    if not train_files:
+        raise ValueError(
+            f"no training clips after the per-label split "
+            f"({len(index.files)} clips, val_frac={cfg.val_frac}) — the "
+            f"corpus is too small (every label's clips went to validation)"
+        )
     Xtr, Rtr, Ltr, ytr, yltr, _ = _load_ctc_arrays(train_files, label_to_text, cfg)
     Xva, Rva, Lva, _, _, va_texts = _load_ctc_arrays(val_files, label_to_text, cfg)
-    va_labels = [ctc_model.normalize_label(l) for l in
-                 [load_clip(f).label for f in val_files]]
+    # the normalized val labels ARE the text targets just loaded
+    # (label_to_text[l] == normalize_label(l)) — no second disk pass
+    va_labels = list(va_texts)
 
     key = jax.random.PRNGKey(cfg.seed)
     key, init_key = jax.random.split(key)
@@ -135,6 +142,10 @@ def train_ctc(cfg: CTCTrainConfig, verbose: bool = True) -> dict:
             )
         return s
 
+    # whole val set in one program: (N, T, C) x (N,) -> (N, n_words) — per-clip
+    # dispatches would pay one device round trip per clip per epoch
+    dict_scores_all = jax.jit(jax.vmap(dict_scores))
+
     n = len(Xtr)
     sampler = np.random.default_rng(cfg.seed)
     best, bad = 0.0, 0
@@ -162,15 +173,16 @@ def train_ctc(cfg: CTCTrainConfig, verbose: bool = True) -> dict:
             ep_loss += float(loss)
             nb += 1
 
-        # dictionary-scored validation accuracy
-        ok = 0
+        # dictionary-scored validation accuracy (one vmapped sweep)
         lp_all = val_logprobs(
             params, jnp.asarray(Xva), jnp.asarray(Rva), jnp.asarray(Lva)
         )
-        for b in range(len(Xva)):
-            scores = np.asarray(dict_scores(lp_all[b], jnp.asarray(Lva[b])))
-            pred = uniq[int(scores.argmax())]
-            ok += ctc_model.normalize_label(pred) == va_labels[b]
+        scores_all = np.asarray(dict_scores_all(lp_all, jnp.asarray(Lva)))
+        ok = sum(
+            ctc_model.normalize_label(uniq[int(scores_all[b].argmax())])
+            == va_labels[b]
+            for b in range(len(Xva))
+        )
         acc = ok / max(1, len(Xva))
         dt = time.perf_counter() - t0
         if verbose:

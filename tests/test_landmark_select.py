@@ -28,15 +28,23 @@ def test_expand_by_index_neighbors():
 
 
 def test_compute_selected_indices(rng):
+    """Pins the exact reference rule (lower_face_record.py:36,48-62):
+    cutoff = max-y over the nose-BOTTOM anchors + 0.003, cheek set = the
+    dynamic scripts' own outline, nose set = the 47-entry fat set."""
+    from silent_speech_tpu.core.landmark_select import (
+        CHEEK_SET,
+        CUT_MARGIN,
+        NOSE_BOTTOM_FOR_CUTOFF,
+    )
+
     lm = rng.random((468, 2)).astype(np.float32)
-    lm[2, 1] = 0.5  # nose-base cutoff
     sel = compute_selected_indices(lm)
     sel_set = set(sel.tolist())
-    # nothing from the nose set; all selected non-cheek points lie below cutoff
     assert not (sel_set & NOSE_SET)
-    from silent_speech_tpu.core.landmarks import CHEEKS
-    below = {i for i in range(468) if lm[i, 1] > 0.5}
-    assert sel_set == (below | set(CHEEKS)) - NOSE_SET
+    assert len(NOSE_SET) == 48
+    cut_y = max(lm[i, 1] for i in NOSE_BOTTOM_FOR_CUTOFF) + CUT_MARGIN
+    below = {i for i in range(468) if lm[i, 1] > cut_y}
+    assert sel_set == (below | CHEEK_SET) - NOSE_SET
     assert sel.dtype == np.int32 and (np.diff(sel) > 0).all()
 
 
