@@ -66,12 +66,37 @@ def main(argv=None) -> int:
         return 1
 
 
-def _sim_context(sim_n: int):
+def _sim_context(sim_n: int, cmd: str = ""):
     """Default simulation scenario: face in range, openness bursts, 'r'
-    toggled around the middle of the run."""
+    toggled around the middle of the run (space + scaled wall-clock state
+    machine for record-timed, which is countdown-driven)."""
+    import contextlib as _ctx
+
     from ..runtime.fakes import NO_KEY, face_track, sim_session
 
     keys = [NO_KEY] * sim_n
+    if cmd == "record-timed":
+        # record-timed starts on SPACE and runs a wall-clock
+        # countdown/record state machine — scale its constants and pace the
+        # fake camera so sim_n frames can actually traverse it
+        if sim_n >= 16:
+            keys[2] = ord(" ")
+
+        @_ctx.contextmanager
+        def _timed_session():
+            from . import record_timed as rt
+
+            saved = (rt.COUNTDOWN_S, rt.RECORD_S)
+            rt.COUNTDOWN_S, rt.RECORD_S = 0.05, 0.25
+            try:
+                with sim_session(keys=keys, n_frames=sim_n,
+                                 faces=face_track(sim_n)) as (cv2f, cam, lmk):
+                    cam.frame_delay = 0.004
+                    yield cv2f, cam, lmk
+            finally:
+                rt.COUNTDOWN_S, rt.RECORD_S = saved
+
+        return _timed_session()
     if sim_n >= 16:
         keys[3] = ord("r")
         keys[sim_n - 8] = ord("r")
@@ -90,7 +115,7 @@ def _dispatch(argv) -> int:
         if a.startswith("sim="):
             sim_n = int(a.split("=", 1)[1])
             kv.remove(a)
-    with _sim_context(sim_n) if sim_n else contextlib.nullcontext():
+    with _sim_context(sim_n, cmd) if sim_n else contextlib.nullcontext():
         return _dispatch_cmd(cmd, kv, flags)
 
 

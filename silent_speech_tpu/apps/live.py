@@ -68,8 +68,12 @@ def infer_live(cfg: InferConfig = InferConfig(),
     print(f"Loaded model. use_roi={predictor.cfg.use_roi} "
           f"max_t={predictor.max_t} classes={len(predictor.id_to_label)}")
 
-    cam = CameraSource(cfg.cam_index)
     lm = FaceLandmarkerSession(model_path, video_mode=True)
+    try:
+        cam = CameraSource(cfg.cam_index)
+    except Exception:
+        lm.close()
+        raise
 
     recording = False
     bufX, bufR = [], []
@@ -145,17 +149,30 @@ def infer_gated(cfg: InferConfig = InferConfig(),
 
     predictor = _load_predictor(cfg)
     gate = OpennessGate(stream_cfg)
-    cam = CameraSource(cfg.cam_index)
     lm = FaceLandmarkerSession(model_path, video_mode=True)
+    try:
+        cam = CameraSource(cfg.cam_index)
+    except Exception:
+        lm.close()
+        raise
     last_top3, hold = None, 0
+    prev_xy = None
 
     try:
         for frame, ts in cam.frames():
             face = lm.detect(frame, ts)
             out = frame.copy()
-            if face is not None:
+            if face is None:
+                # face lost: reset the segmentation state and velocity chain
+                # so one clip can't splice two utterances together
+                # (live_lower_half.py:298-306)
+                gate.reset()
+                prev_xy = None
+            else:
                 h, w = out.shape[:2]
-                feat, xy_n, center, mw = extract_features_frame(face, w, h, None)
+                feat, xy_n, center, mw = extract_features_frame(
+                    face, w, h, prev_xy)
+                prev_xy = xy_n  # velocity chains as in training clips
                 openness = feat[-1]  # mouth_aspect (normalized openness)
                 roi = (_roi_frame(frame, center, mw, predictor.cfg)
                        if predictor.cfg.use_roi else None)
@@ -211,8 +228,12 @@ def infer_stream(ckpt_path: str, stream_cfg: StreamConfig = StreamConfig(),
         return gru_word_classifier_forward(params, X)
 
     engine = SlidingWindowEngine(fwd, input_dim, stream_cfg)
-    cam = CameraSource(cam_index)
     lm = FaceLandmarkerSession(model_path, video_mode=False)
+    try:
+        cam = CameraSource(cam_index)
+    except Exception:
+        lm.close()
+        raise
     last_label, last_conf = "...", 0.0
 
     try:
@@ -261,8 +282,12 @@ def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",
         len_per_char=int(meta.get("exp_len", 5)),
     )
     roi_cfg = InferConfig()
-    cam = CameraSource(cam_index)
     lm = FaceLandmarkerSession(model_path, video_mode=True)
+    try:
+        cam = CameraSource(cam_index)
+    except Exception:
+        lm.close()
+        raise
     recording, bufX, bufR, prev_xy = False, [], [], None
     last = None
     try:

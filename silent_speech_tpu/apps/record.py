@@ -43,8 +43,12 @@ def main(cfg: RecorderConfig = RecorderConfig(), model_path: str = "models/face_
     keys = list("1234567890")
     key_to_word = dict(zip(keys, WORDS))
 
-    cam = CameraSource(cfg.cam_index)
     lm = FaceLandmarkerSession(model_path, video_mode=True)
+    try:
+        cam = CameraSource(cfg.cam_index)
+    except Exception:
+        lm.close()
+        raise
 
     recording = False
     label = WORDS[0]

@@ -55,8 +55,14 @@ def main(cfg: RecorderConfig = RecorderConfig(),
 
     os.makedirs(cfg.out_dir, exist_ok=True)
     key_to_word = dict(zip(list("1234567890"), WORDS))
-    cam = CameraSource(cfg.cam_index)
+    # landmarker first: its asset-missing failure is the likely first-run
+    # path and must not strand an opened camera handle
     lm = FaceLandmarkerSession(model_path, video_mode=True)
+    try:
+        cam = CameraSource(cfg.cam_index)
+    except Exception:
+        lm.close()
+        raise
 
     state = "idle"  # idle -> countdown -> recording -> idle
     label = WORDS[0]
@@ -121,7 +127,10 @@ def main(cfg: RecorderConfig = RecorderConfig(),
             if key in (27, ord("q")):
                 break
             ch = chr(key) if 32 <= key < 127 else ""
-            if ch in key_to_word:
+            if ch in key_to_word and state == "idle":
+                # word selection is idle-only (record_training_data.py
+                # gates it the same way): a digit pressed mid-recording
+                # must not relabel the clip being captured
                 label = key_to_word[ch]
             if ch == " " and state == "idle":
                 state, state_t0 = "countdown", now

@@ -99,9 +99,12 @@ def save_clip(clip: Clip, path: str, *, min_frames: int = 5) -> str:
     Truncates X/ts/roi to a common length before writing, matching the
     recorder's alignment (record_landmarks_official.py:245-248).
     """
+    # align FIRST: a clip whose roi is shorter than X must be judged by its
+    # post-alignment length, or the guard passes and a too-short clip is
+    # written anyway
+    clip = clip.aligned()
     if clip.T <= min_frames:
         raise ValueError(f"clip too short: {clip.T} <= {min_frames} frames")
-    clip = clip.aligned()
     payload = dict(
         X=clip.X.astype(np.float32),
         ts=np.asarray(clip.ts),
@@ -117,7 +120,14 @@ def save_clip(clip: Clip, path: str, *, min_frames: int = 5) -> str:
 
 
 def clip_filename(speaker: str, label: str, unixtime: int, clip_id: int) -> str:
-    """Reference filename convention (record_landmarks_official.py:249)."""
+    """Reference filename convention (record_landmarks_official.py:249).
+
+    Underscores inside speaker/label are sanitized to dashes at write time:
+    '_' is the field separator, so 'john_doe' would make every filename-label
+    parser downstream read 'doe' (the reference had this latent corruption;
+    consciously fixed)."""
+    speaker = str(speaker).replace("_", "-")
+    label = str(label).replace("_", "-")
     return f"{speaker}_{label}_{unixtime}_{clip_id:04d}.npz"
 
 

@@ -37,7 +37,10 @@ class MetricsLogger:
             except (TypeError, ValueError):
                 rec[k] = v
         if self._f:
-            self._f.write(json.dumps(rec) + "\n")
+            # default=str: a non-floatable value (ndarray, numpy scalar in
+            # 'step', ...) must degrade to its repr, not crash the caller's
+            # training loop with a JSON TypeError
+            self._f.write(json.dumps(rec, default=str) + "\n")
             self._f.flush()
         return rec
 
