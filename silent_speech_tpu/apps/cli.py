@@ -62,7 +62,14 @@ def main(argv=None) -> int:
     try:
         return _dispatch(argv)
     except (AttributeError, ValueError, RuntimeError, FileNotFoundError, IOError) as e:
+        import os
+        import traceback
+
+        if os.environ.get("SILENT_SPEECH_DEBUG"):
+            traceback.print_exc()
         print(f"error: {e}", file=sys.stderr)
+        print("(set SILENT_SPEECH_DEBUG=1 for the full traceback)",
+              file=sys.stderr)
         return 1
 
 
@@ -87,11 +94,16 @@ def _sim_context(sim_n: int, cmd: str = ""):
             from . import record_timed as rt
 
             saved = (rt.COUNTDOWN_S, rt.RECORD_S)
-            rt.COUNTDOWN_S, rt.RECORD_S = 0.05, 0.25
+            # budget from sim_n so the state machine completes for ANY
+            # sim_n >= 16: space at frame 2, ~5 countdown frames, the rest
+            # recording with margin (frames tick every frame_delay seconds)
+            fd = 0.004
+            rt.COUNTDOWN_S = 5 * fd
+            rt.RECORD_S = max(8, sim_n - 12) * fd * 0.8
             try:
                 with sim_session(keys=keys, n_frames=sim_n,
                                  faces=face_track(sim_n)) as (cv2f, cam, lmk):
-                    cam.frame_delay = 0.004
+                    cam.frame_delay = fd
                     yield cv2f, cam, lmk
             finally:
                 rt.COUNTDOWN_S, rt.RECORD_S = saved
@@ -119,14 +131,39 @@ def _dispatch(argv) -> int:
         return _dispatch_cmd(cmd, kv, flags)
 
 
+def _extras(kv, *allowed) -> dict:
+    """Parse free-form key=value args, erroring on unknown keys (the same
+    typo protection apply_overrides gives the dataclass commands)."""
+    d = {}
+    for a in kv:
+        k, _, v = a.partition("=")
+        if k not in allowed:
+            raise ValueError(
+                f"unknown option {k!r} (allowed: {', '.join(sorted(allowed))})"
+            )
+        d[k] = v
+    return d
+
+
+def _pop_model_path(kv) -> dict:
+    """Extract model_path= for the camera commands (every app main takes it
+    as a function parameter, not a config field — the doctor's remedy)."""
+    for a in list(kv):
+        if a.startswith("model_path="):
+            kv.remove(a)
+            return {"model_path": a.split("=", 1)[1]}
+    return {}
+
+
 def _dispatch_cmd(cmd, kv, flags) -> int:
+    mp = _pop_model_path(kv)
     if cmd == "record":
         from .record import main as run
-        run(apply_overrides(RecorderConfig(), kv))
+        run(apply_overrides(RecorderConfig(), kv), **mp)
     elif cmd == "record-timed":
         from .record_timed import main as run
         run(apply_overrides(RecorderConfig(), kv),
-            status_only="--status" in flags)
+            status_only="--status" in flags, **mp)
     elif cmd == "status":
         from .record_timed import print_progress_summary
         cfg = apply_overrides(RecorderConfig(), kv)
@@ -148,19 +185,25 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
         train_mlp_quick(apply_overrides(MLPQuickConfig(), kv))
     elif cmd == "infer-live":
         from .live import infer_live
-        infer_live(apply_overrides(InferConfig(), kv))
+        infer_live(apply_overrides(InferConfig(), kv), **mp)
     elif cmd == "infer-gated":
         from .live import infer_gated
-        infer_gated(apply_overrides(InferConfig(), kv))
+        infer_gated(apply_overrides(InferConfig(), kv), **mp)
     elif cmd == "infer-stream":
+        import dataclasses as _dc
+
         from .live import infer_stream
-        ckpt = kv and dict(x.split("=", 1) for x in kv).get("ckpt_path")
-        if not ckpt:
-            print("usage: infer-stream ckpt_path=<path> [cam_index=N]")
+        stream_fields = {f.name for f in _dc.fields(StreamConfig)}
+        scfg_kv = [a for a in kv if a.partition("=")[0] in stream_fields]
+        other = [a for a in kv if a.partition("=")[0] not in stream_fields]
+        extras = _extras(other, "ckpt_path", "cam_index")
+        if "ckpt_path" not in extras:
+            print("usage: infer-stream ckpt_path=<path> [cam_index=N] "
+                  "[<StreamConfig field>=...]")
             return 2
-        extras = dict(x.split("=", 1) for x in kv)
-        infer_stream(ckpt, StreamConfig(),
-                     cam_index=int(extras.get("cam_index", 0)))
+        infer_stream(extras["ckpt_path"],
+                     apply_overrides(StreamConfig(), scfg_kv),
+                     cam_index=int(extras.get("cam_index", 0)), **mp)
     elif cmd == "eval-dataset":
         from ..infer import VariantPredictor, evaluate_dataset, load_predictor
         from ..infer.evaluator import evaluate_variant_dataset
@@ -177,7 +220,7 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
                              top_confusions=cfg.top_confusions)
     elif cmd == "eval-ctc":
         from ..infer.evaluator import evaluate_ctc_dataset
-        extras = dict(x.split("=", 1) for x in kv)
+        extras = _extras(kv, "ckpt_path", "clip_dir")
         if "ckpt_path" not in extras:
             print("usage: eval-ctc ckpt_path=<path> [clip_dir=clips_npz]")
             return 2
@@ -185,19 +228,26 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
                              extras.get("clip_dir", "clips_npz"))
     elif cmd == "landmarks-view":
         from .landmarks_view import main as run
-        run()
+        extras = _extras(kv, "cam_index", "label_every")
+        run(cam_index=int(extras.get("cam_index", 0)),
+            label_every=int(extras.get("label_every", 1)), **mp)
     elif cmd == "important-landmarks":
         from .important_landmarks import main as run
-        run()
+        extras = _extras(kv, "cam_index", "open_low", "open_high", "ema_alpha")
+        run(cam_index=int(extras.get("cam_index", 0)),
+            open_low=float(extras.get("open_low", 0.035)),
+            open_high=float(extras.get("open_high", 0.055)),
+            ema_alpha=float(extras.get("ema_alpha", 0.3)), **mp)
     elif cmd == "infer-ctc":
         from .live import infer_ctc
-        extras = dict(x.split("=", 1) for x in kv)
+        extras = _extras(kv, "ckpt_path", "cam_index")
         if "ckpt_path" not in extras:
             print("usage: infer-ctc ckpt_path=<path> [cam_index=N]")
             return 2
-        infer_ctc(extras["ckpt_path"], cam_index=int(extras.get("cam_index", 0)))
+        infer_ctc(extras["ckpt_path"],
+                  cam_index=int(extras.get("cam_index", 0)), **mp)
     elif cmd == "export-torch":
-        extras = dict(x.split("=", 1) for x in kv)
+        extras = _extras(kv, "ckpt_path", "out_path")
         if "ckpt_path" not in extras or "out_path" not in extras:
             print("usage: export-torch ckpt_path=<ours.ckpt> out_path=<ref.pt>")
             return 2
@@ -208,7 +258,7 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
         print("wrote", extras["out_path"])
     elif cmd == "debug-npz":
         from .debug_npz import main as run
-        extras = dict(x.split("=", 1) for x in kv)
+        extras = _extras(kv, "clip_dir")
         return run(extras.get("clip_dir", "clips_npz"))
     elif cmd == "doctor":
         from .doctor import run_doctor
@@ -216,9 +266,14 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
     elif cmd == "bench":
         import runpy
         import os
-        runpy.run_path(
-            os.path.join(os.path.dirname(__file__), "..", "..", "bench.py"),
-            run_name="__main__")
+        bench_path = os.path.join(
+            os.path.dirname(__file__), "..", "..", "bench.py")
+        if not os.path.exists(bench_path):
+            raise FileNotFoundError(
+                "bench.py lives at the repository root (source checkout "
+                "only) — run `python bench.py` from the repo instead"
+            )
+        runpy.run_path(bench_path, run_name="__main__")
     else:
         print(f"unknown command: {cmd}\n{__doc__}")
         return 2

@@ -18,7 +18,7 @@ def _line(status: str, name: str, detail: str) -> None:
     print(f"  [{status:^4s}] {name:<22s} {detail}")
 
 
-def run_doctor(verbose: bool = True) -> int:
+def run_doctor() -> int:
     fails = 0
 
     # --- jax / backend ---------------------------------------------------
@@ -33,7 +33,7 @@ def run_doctor(verbose: bool = True) -> int:
             _line("WARN", "backend", f"unexpected backend {backend!r}")
     except Exception as e:  # noqa: BLE001
         _line("FAIL", "jax", f"{type(e).__name__}: {e}")
-        fails += 1
+        print("1 FAILURE(S) — see above")  # keep the summary contract
         return 1  # nothing else is checkable
 
     # --- jit smoke (compile + execute one small program) ------------------

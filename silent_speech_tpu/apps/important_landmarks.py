@@ -18,14 +18,16 @@ def main(cam_index: int = 0, model_path: str = "models/face_landmarker.task",
     lm = FaceLandmarkerSession(model_path, video_mode=True)
     ema = EMA(ema_alpha)
     gate = Hysteresis(open_low, open_high)
-    sel = None
+    sel = ()
     try:
         for frame, ts in cam.frames():
             face = lm.detect(frame, ts)
             if face is not None:
                 h, w = frame.shape[:2]
-                if sel is None:
-                    sel = compute_selected_indices(face[:, :2])
+                # the reference VIEWER recomputes the selection every frame
+                # (the dots track head pose); only the RECORDER locks it per
+                # clip (lower_face_record.py:197,227-228)
+                sel = compute_selected_indices(face[:, :2])
                 for i in sel:
                     x, y = int(face[i, 0] * w), int(face[i, 1] * h)
                     cv2.circle(frame, (x, y), 1, (0, 255, 0), -1)

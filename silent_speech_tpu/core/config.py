@@ -200,7 +200,17 @@ def apply_overrides(cfg, overrides: Sequence[str]):
         if key in dict_fields or isinstance(cur, dict):
             val = _parse_dict_override(raw)
         elif isinstance(cur, bool):
-            val = raw.lower() in ("1", "true", "yes", "on")
+            low = raw.lower()
+            if low in ("1", "true", "yes", "on"):
+                val = True
+            elif low in ("0", "false", "no", "off"):
+                val = False
+            else:
+                # a typo ('ture') must not silently become False
+                raise ValueError(
+                    f"{key}={raw!r} is not a boolean "
+                    f"(use true/false, 1/0, yes/no, on/off)"
+                )
         elif isinstance(cur, int):
             val = int(raw)
         elif isinstance(cur, float):
