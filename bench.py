@@ -44,8 +44,12 @@ def main():
     def loop_fwd(params, X, lengths, roi, iters):
         def body(carry, _):
             Xc, Rc = carry
+            # matmul_precision='parity': the headline number and the <=1e-3
+            # on-chip fidelity bar are the SAME mode (docs/PRECISION.md;
+            # ~1.5% below default-precision throughput)
             logits = model.live_forward(params, mcfg, Xc, lengths, Rc,
-                                        roi_impl="grouped")
+                                        roi_impl="grouped",
+                                        matmul_precision="parity")
             # runtime-zero feedback: keeps every iteration live and distinct
             eps = logits[0, 0] * 1e-30
             Xc = Xc + eps

@@ -1,0 +1,190 @@
+"""Per-site matmul-precision bisect on the real TPU chip.
+
+The on-chip default-precision forward drifts logits ~2.6e-3 vs the torch
+reference (TPU f32 matmuls are bf16 decompositions at Precision.DEFAULT);
+raising EVERY matmul to 'highest' meets the <=1e-3 parity bar but costs ~43%
+of the throughput headline (BASELINE.md). This script attributes the drift to
+the four matmul families of the official model — ROI convs, GRU input
+projections, GRU recurrent products, head/pool — and finds the cheapest
+per-site combination that holds corpus-wide logits <= 1e-3, which ships as
+``matmul_precision='parity'`` (models/bigru.PARITY_PRECISION).
+
+Usage: JAX_PLATFORMS=tpu python scripts/precision_bisect.py
+Writes docs/precision_bisect.json and prints a human-readable table.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import sys
+import tempfile
+import time
+from functools import partial
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from silent_speech_tpu.core.torch_import import import_bigru_classifier
+from silent_speech_tpu.data.synthetic import generate_corpus
+from silent_speech_tpu.models import bigru as model
+
+SITES = ("roi", "gru_wi", "gru_wh", "head")
+BAR = 1e-3
+ROI_IMPL = "grouped"  # the serving path
+
+
+def drift_for(params, mcfg, X, L, R, ref, spec, roi_impl=ROI_IMPL):
+    logits = np.asarray(
+        model.live_forward(
+            params, mcfg, X, L, R, roi_impl=roi_impl,
+            matmul_precision=spec,
+        )
+    )
+    err = float(np.max(np.abs(logits - ref)))
+    agree = float(np.mean(logits.argmax(-1) == ref.argmax(-1)))
+    return err, agree
+
+
+def bench_spec(spec, iters=30):
+    """bench.py's loop methodology at B=1024 with the given precision."""
+    mcfg = model.BiGRUConfig(x_dim=180, num_classes=10, use_roi=True)
+    params = model.init_params(jax.random.PRNGKey(0), mcfg)
+    T, B = 32, 1024
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def loop_fwd(params, X, lengths, roi, iters):
+        def body(carry, _):
+            Xc, Rc = carry
+            logits = model.live_forward(params, mcfg, Xc, lengths, Rc,
+                                        roi_impl=ROI_IMPL,
+                                        matmul_precision=spec)
+            eps = logits[0, 0] * 1e-30
+            Xc = Xc + eps
+            Rc = Rc + (eps > 1e30).astype(jnp.uint8)
+            return (Xc, Rc), logits[0, 0]
+        (Xf, _), outs = lax.scan(body, (X, roi), None, length=iters)
+        return outs[-1] + Xf[0, 0, 0]
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal((B, T, 180)).astype(np.float32))
+    lengths = jnp.asarray(np.full((B,), T, np.int32))
+    roi = jnp.asarray(rng.integers(0, 256, (B, T, 48, 96), dtype=np.uint8))
+    float(loop_fwd(params, X, lengths, roi, 2))
+    float(loop_fwd(params, X, lengths, roi, iters))
+    t0 = time.perf_counter()
+    float(loop_fwd(params, X, lengths, roi, iters))
+    dt = (time.perf_counter() - t0) / iters
+    return B / dt
+
+
+def main():
+    assert jax.default_backend() == "tpu", "run on the TPU backend"
+    sys.path.insert(0, ".")
+    from tests.test_golden_parity import WORDS5, _train_torch_golden
+    from tests.test_model_parity import _TorchBiGRUClassifier
+
+    with tempfile.TemporaryDirectory() as td:
+        corpus = f"{td}/clips"
+        generate_corpus(corpus, clips_per_word=6, words=WORDS5, seed=7)
+        files = sorted(glob.glob(f"{corpus}/*.npz"))
+        labels = sorted(WORDS5)
+        label_to_id = {w: i for i, w in enumerate(labels)}
+        tm, (X, R, L, _y) = _train_torch_golden(files, label_to_id)
+
+    live = _TorchBiGRUClassifier(180, len(labels), use_roi=True,
+                                 standardize_roi=False)
+    live.load_state_dict(tm.state_dict())
+    live.eval()
+    with torch.no_grad():
+        ref = live(torch.from_numpy(X), torch.from_numpy(L),
+                   torch.from_numpy(R)).numpy()
+
+    params = import_bigru_classifier(tm.state_dict(), gru_layers=2,
+                                     use_roi=True)
+    params = jax.tree.map(jnp.asarray, params)
+    mcfg = model.BiGRUConfig(x_dim=180, num_classes=5, use_roi=True)
+    Xj = jnp.asarray(X)
+    Lj = jnp.asarray(L.astype(np.int32))
+    Rj = jnp.asarray(R)
+
+    results = {}
+
+    def measure(tag, spec):
+        err, agree = drift_for(params, mcfg, Xj, Lj, Rj, ref, spec)
+        results[tag] = {"spec": spec if isinstance(spec, (str, type(None)))
+                        else dict(spec),
+                        "max_logit_err": err, "argmax_agreement": agree}
+        print(f"{tag:>34s}: max|dlogits|={err:.2e} argmax={agree:.3f}",
+              flush=True)
+        return err
+
+    # 1. globals
+    base_err = measure("global/default", None)
+    measure("global/high", "high")
+    measure("global/highest", "highest")
+
+    # 2. drift attribution: one site raised to 'highest' at a time
+    site_gain = {}
+    for s in SITES:
+        err = measure(f"raise-one/{s}=highest", {s: "highest"})
+        site_gain[s] = base_err - err
+
+    # 3. greedy accumulate sites by attribution until under the bar
+    order = sorted(SITES, key=lambda s: -site_gain[s])
+    combo = {}
+    combo_err = base_err
+    for s in order:
+        if combo_err <= BAR * 0.8:
+            break
+        combo[s] = "highest"
+        combo_err = measure("combo/" + "+".join(sorted(combo)), dict(combo))
+
+    # 4. try cheapening each combo member to 'high'
+    final = dict(combo)
+    for s in list(final):
+        trial = dict(final)
+        trial[s] = "high"
+        err = measure(
+            "cheapen/" + "+".join(f"{k}={v}" for k, v in sorted(trial.items())),
+            trial)
+        if err <= BAR * 0.8:
+            final = trial
+    final_err = measure("FINAL/" + "+".join(
+        f"{k}={v}" for k, v in sorted(final.items())), dict(final))
+    # cross-check the final spec on the xla roi path too
+    err_xla, agree_xla = drift_for(params, mcfg, Xj, Lj, Rj, ref, dict(final),
+                                   roi_impl="xla")
+    print(f"  (final on roi_impl=xla: {err_xla:.2e} argmax={agree_xla:.3f})",
+          flush=True)
+
+    # 5. throughput
+    bench = {}
+    for tag, spec in (
+        ("default", None),
+        ("highest", "highest"),
+        ("final", dict(final)),
+    ):
+        cps = bench_spec(spec)
+        bench[tag] = round(cps, 1)
+        print(f"bench {tag:>8s}: {cps:,.0f} clips/s", flush=True)
+
+    out = {
+        "results": results,
+        "final_spec": final,
+        "final_err": final_err,
+        "final_err_xla_roi": err_xla,
+        "bench_clips_per_sec_B1024": bench,
+    }
+    with open("docs/precision_bisect.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"final_spec": final, "final_err": final_err,
+                      "bench": bench}))
+
+
+if __name__ == "__main__":
+    main()

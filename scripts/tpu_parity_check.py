@@ -67,6 +67,11 @@ def main():
             ("xla", "scan", jnp.float32, "highest", "xla/scan/f32/highest"),
             ("grouped", "scan", jnp.float32, "highest",
              "grouped/scan/f32/highest"),
+            # the serving default (per-site raise, docs/PRECISION.md):
+            # must stay <= 1e-3
+            ("xla", "scan", jnp.float32, "parity", "xla/scan/f32/parity"),
+            ("grouped", "scan", jnp.float32, "parity",
+             "grouped/scan/f32/parity"),
         ):
             logits = np.asarray(model.live_forward(
                 params, mcfg, jnp.asarray(X), jnp.asarray(L.astype(np.int32)),

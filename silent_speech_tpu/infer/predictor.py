@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -55,9 +55,15 @@ class Predictor:
     compute_dtype: str = "float32"  # "bfloat16" = fast serving mode
     roi_impl: str = "xla"
     gru_impl: str = "scan"  # "pallas" = fused sequence kernel (bit-identical)
-    # None = backend default; "highest" = true-f32 matmuls (on-TPU strict
-    # parity mode: logits < 1e-3 vs torch; scripts/tpu_parity_check.py)
-    matmul_precision: Optional[str] = None
+    # "parity" (the serving default) = head-site precision raise — the
+    # cheapest mode holding on-chip logits <= 1e-3 vs torch at ~1%
+    # throughput cost (measured, docs/PRECISION.md;
+    # models/bigru.PARITY_PRECISION). None = backend default (2.6e-3 drift
+    # on TPU, argmax still exact); "highest" = true-f32 on every matmul
+    # (strict mode, 5e-6 drift, -43% throughput); a dict selects per-site
+    # precisions explicitly (GRU sites: large-batch offline only — see the
+    # compile-pathology note in docs/PRECISION.md).
+    matmul_precision: Union[None, str, dict] = "parity"
 
     def __post_init__(self):
         self.buckets = tuple(sorted(set(list(self.buckets) + [self.max_t])))
@@ -115,6 +121,45 @@ class Predictor:
         id_to_label = {int(k): str(v) for k, v in ckpt["id_to_label"].items()}
         return cls(params=params, cfg=cfg, id_to_label=id_to_label,
                    max_t=int(ckpt["max_t"]), **kw)
+
+    def shard(self, mesh) -> "Predictor":
+        """Serve over a device mesh: params replicate, batches shard their
+        leading axis on the mesh's data axes (GSPMD inserts the collectives).
+        Ragged batches pad up to the data-axis multiple and slice back, so
+        ``predict_batch``/``evaluate_dataset`` work unchanged — the
+        ``eval-dataset mesh_shape={'data':N}`` path."""
+        import math
+
+        from ..parallel.mesh import bigru_param_specs, shard_params
+        from ..parallel.train_sharded import make_sharded_infer_fn
+
+        self.params = shard_params(
+            self.params, mesh, bigru_param_specs(self.params))
+        run = make_sharded_infer_fn(
+            self.cfg, mesh, compute_dtype=jnp.dtype(self.compute_dtype),
+            roi_impl=self.roi_impl, gru_impl=self.gru_impl,
+            matmul_precision=self.matmul_precision,
+        )
+        n_data = math.prod(
+            n for a, n in zip(mesh.axis_names, mesh.devices.shape)
+            if a != "model"
+        )
+
+        def fwd(params, X, lengths, roi):
+            B = X.shape[0]
+            pad = (-B) % n_data
+            if pad:
+                X = jnp.concatenate([X, jnp.zeros((pad,) + X.shape[1:],
+                                                  X.dtype)])
+                lengths = jnp.concatenate(
+                    [lengths, jnp.ones((pad,), lengths.dtype)])
+                if roi is not None:
+                    roi = jnp.concatenate(
+                        [roi, jnp.zeros((pad,) + roi.shape[1:], roi.dtype)])
+            return run(params, X, lengths, roi)[:B]
+
+        self._fwd = fwd
+        return self
 
     def predict_arrays(
         self,

@@ -18,8 +18,9 @@ The per-frame ROI std uses Bessel's correction (ddof=1) to match
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
-from typing import Optional
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,41 @@ from ..ops.nn import (
     linear_init,
     max_pool_2x2,
 )
+
+
+# Per-site matmul-precision spec. Keys name the four matmul families of the
+# official model; values are None (backend default), 'high' (bf16_3x on TPU)
+# or 'highest' (true f32). Measured on v5e-1 (scripts/precision_bisect.py):
+# the on-chip 2.6e-3 logit drift vs torch comes from the bf16-decomposed
+# default-precision matmuls; PARITY_PRECISION is the cheapest per-site
+# combination that holds corpus-wide logits <= 1e-3 vs the torch live
+# forward (live_infer_official.py:338-359) — the named mode
+# matmul_precision='parity' on forward()/Predictor.
+# Measured on v5e-1 (docs/PRECISION.md, scripts/precision_bisect.py):
+# default-precision drift 2.62e-3 vs torch; raising ONLY the head site ->
+# 8.75e-4 (under the 1e-3 bar; argmax exact everywhere). The ROI convs —
+# the expensive matmuls — stay at default, so the mode costs ~1% throughput
+# instead of the 43% a global 'highest' costs (19.2k vs 33.7k clips/s).
+#
+# The GRU sites stay at default deliberately: a precision override on the
+# in-scan recurrent dot makes the TPU compiler blow up at small batches
+# (B<=12 never finished compiling in 10 min; B=30 took 262s with both GRU+
+# head raised) — and gru_wh's drift share was only 1.3e-4 anyway. Raising
+# gru_wh/gru_wi via an explicit dict spec is supported for LARGE-batch
+# offline use (B>=256 compiles fine) but is not part of the serving default.
+PARITY_PRECISION: dict = {
+    "roi": None,        # TinyROICNN convs + fc: no measurable drift share
+    "gru_wi": None,     # GRU input projections: no measurable drift share
+    "gru_wh": None,     # see compile-pathology note above
+    "head": "highest",  # attn-pool score + MLP head: the dominant share
+}
+
+PrecisionLike = Union[None, str, dict]
+
+
+def _prec_scope(p: Optional[str]):
+    """Scoped matmul-precision override (no-op when p is falsy)."""
+    return jax.default_matmul_precision(p) if p else contextlib.nullcontext()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -152,7 +188,7 @@ def forward(
     gru_impl: str = "scan",
     roi_impl: str = "xla",
     roi_packed: Optional[dict] = None,
-    matmul_precision: Optional[str] = None,
+    matmul_precision: PrecisionLike = None,
 ) -> jnp.ndarray:
     """X: (B, T, D) f32; lengths: (B,) i32; roi: (B, T, H, W) uint8 or None.
 
@@ -160,11 +196,16 @@ def forward(
     sequence kernel, inference-only). ``roi_impl``: 'xla' or 'pallas' (fused
     TinyROICNN kernel, inference-only; pass ``roi_packed`` from
     ops.pallas_cnn.pack_roi_cnn_params to reuse the packed weights).
-    ``matmul_precision``: None = backend default; 'highest' = true-f32
-    matmuls, scoped to this forward only (on TPU the default f32 matmul is a
-    bf16 decomposition that drifts logits ~2.6e-3 vs the torch reference —
-    'highest' brings the on-chip drift under the 1e-3 parity bar; see
-    scripts/tpu_parity_check.py). Returns logits (B, num_classes) f32.
+
+    ``matmul_precision``: None = backend default; a string ('high',
+    'highest', ...) applies globally to this forward; ``'parity'`` is the
+    named per-site mode (PARITY_PRECISION) — the cheapest combination that
+    holds on-chip logits <= 1e-3 vs torch (on TPU the default f32 matmul is
+    a bf16 decomposition that drifts logits ~2.6e-3; see
+    scripts/precision_bisect.py + docs/PRECISION.md); a dict selects
+    per-site precisions explicitly (keys 'roi', 'gru_wi', 'gru_wh', 'head').
+    Per-site GRU precisions apply to the scan impl (gru_impl='pallas' does
+    its own in-kernel f32 math). Returns logits (B, num_classes) f32.
     """
     if roi_impl not in ("xla", "grouped", "pallas"):
         raise ValueError(f"unknown roi_impl {roi_impl!r} "
@@ -172,7 +213,9 @@ def forward(
     if gru_impl not in ("scan", "pallas"):
         raise ValueError(f"unknown gru_impl {gru_impl!r} "
                          "(expected 'scan' or 'pallas')")
-    if matmul_precision:
+    if matmul_precision == "parity":
+        matmul_precision = PARITY_PRECISION
+    if isinstance(matmul_precision, str):
         with jax.default_matmul_precision(matmul_precision):
             return forward(
                 params, cfg, X, lengths, roi,
@@ -181,31 +224,37 @@ def forward(
                 roi_impl=roi_impl, roi_packed=roi_packed,
                 matmul_precision=None,
             )
+    site_prec: dict = dict(matmul_precision or {})
+    unknown = set(site_prec) - {"roi", "gru_wi", "gru_wh", "head"}
+    if unknown:
+        raise ValueError(f"unknown matmul_precision sites {sorted(unknown)} "
+                         "(expected 'roi', 'gru_wi', 'gru_wh', 'head')")
     X = X.astype(compute_dtype)
     if cfg.use_roi:
         if roi is None:
             raise ValueError("model was built with use_roi=True but got roi=None")
-        if roi_impl == "pallas" and not train:
-            from ..ops.pallas_cnn import pack_roi_cnn_params, roi_cnn_pallas
+        with _prec_scope(site_prec.get("roi")):
+            if roi_impl == "pallas" and not train:
+                from ..ops.pallas_cnn import pack_roi_cnn_params, roi_cnn_pallas
 
-            if roi_packed is None:
-                roi_packed = pack_roi_cnn_params(params["roi_cnn"])
-            B, T = roi.shape[:2]
-            roi_e = roi_cnn_pallas(
-                roi.reshape(B * T, *roi.shape[2:]), roi_packed,
-                standardize=roi_standardize,
-            ).reshape(B, T, -1).astype(compute_dtype)
-        elif roi_impl == "grouped":
-            from ..ops.grouped_cnn import roi_cnn_grouped
+                if roi_packed is None:
+                    roi_packed = pack_roi_cnn_params(params["roi_cnn"])
+                B, T = roi.shape[:2]
+                roi_e = roi_cnn_pallas(
+                    roi.reshape(B * T, *roi.shape[2:]), roi_packed,
+                    standardize=roi_standardize,
+                ).reshape(B, T, -1).astype(compute_dtype)
+            elif roi_impl == "grouped":
+                from ..ops.grouped_cnn import roi_cnn_grouped
 
-            B, T = roi.shape[:2]
-            r = preprocess_roi(roi, roi_standardize).astype(compute_dtype)
-            roi_e = roi_cnn_grouped(
-                params["roi_cnn"], r.reshape(B * T, *r.shape[2:])
-            ).reshape(B, T, -1).astype(compute_dtype)
-        else:
-            r = preprocess_roi(roi, roi_standardize).astype(compute_dtype)
-            roi_e = roi_cnn_forward(params["roi_cnn"], r)
+                B, T = roi.shape[:2]
+                r = preprocess_roi(roi, roi_standardize).astype(compute_dtype)
+                roi_e = roi_cnn_grouped(
+                    params["roi_cnn"], r.reshape(B * T, *r.shape[2:])
+                ).reshape(B, T, -1).astype(compute_dtype)
+            else:
+                r = preprocess_roi(roi, roi_standardize).astype(compute_dtype)
+                roi_e = roi_cnn_forward(params["roi_cnn"], r)
         Z = jnp.concatenate([X, roi_e], axis=-1)
     else:
         Z = X
@@ -231,21 +280,24 @@ def forward(
             dropout_rate=cfg.gru_dropout if cfg.gru_layers > 1 else 0.0,
             train=train,
             rng=gru_rng,
+            wi_precision=site_prec.get("gru_wi"),
+            wh_precision=site_prec.get("gru_wh"),
         )
-    pooled = pooling.attn_pool(out, lengths, params["pool"])  # (B, 2H)
+    with _prec_scope(site_prec.get("head")):
+        pooled = pooling.attn_pool(out, lengths, params["pool"])  # (B, 2H)
 
-    h = layer_norm(pooled, params["head"]["ln"])
-    h = jax.nn.relu(dense(h, params["head"]["fc1"]))
-    if train:
-        h = dropout(h, cfg.head_dropout, head_rng, train)
-    logits = dense(h, params["head"]["fc2"])
+        h = layer_norm(pooled, params["head"]["ln"])
+        h = jax.nn.relu(dense(h, params["head"]["fc1"]))
+        if train:
+            h = dropout(h, cfg.head_dropout, head_rng, train)
+        logits = dense(h, params["head"]["fc2"])
     return logits.astype(jnp.float32)
 
 
 def live_forward(params, cfg, X, lengths, roi=None, compute_dtype=jnp.float32,
                  gru_impl: str = "scan", roi_impl: str = "xla",
                  roi_packed: Optional[dict] = None,
-                 matmul_precision: Optional[str] = None):
+                 matmul_precision: PrecisionLike = None):
     """The live-inference forward (no ROI standardization, no dropout) —
     the parity target against live_infer_official.py:124-138."""
     return forward(

@@ -49,12 +49,15 @@ def flip_padded(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(x, idx, axis=1)
 
 
-def gru_cell_step(h, xp_t, wh, bh):
+def gru_cell_step(h, xp_t, wh, bh, precision=None):
     """One GRU step given the precomputed input projection ``xp_t = x W_i + b_i``.
 
     h: (B, H); xp_t: (B, 3H); wh: (H, 3H); bh: (3H,). Returns new h.
+    ``precision``: matmul precision for the recurrent product (None = backend
+    default; 'highest' = true-f32 on TPU).
     """
-    hp = jnp.dot(h, wh, preferred_element_type=h.dtype) + bh
+    hp = jnp.dot(h, wh, preferred_element_type=h.dtype,
+                 precision=precision) + bh
     H = h.shape[-1]
     xr, xz, xn = xp_t[..., :H], xp_t[..., H : 2 * H], xp_t[..., 2 * H :]
     hr, hz, hn = hp[..., :H], hp[..., H : 2 * H], hp[..., 2 * H :]
@@ -72,11 +75,17 @@ def gru_layer_single_direction(
     reverse: bool = False,
     h0: Optional[jnp.ndarray] = None,
     unroll: int = 8,
+    wi_precision=None,
+    wh_precision=None,
 ):
     """Run one GRU direction over a padded batch.
 
     x: (B, T, D); lengths: (B,); params: {'wi': (D,3H), 'wh': (H,3H),
     'bi': (3H,), 'bh': (3H,)}.
+
+    ``wi_precision`` / ``wh_precision`` set the matmul precision of the
+    hoisted input projection and the in-scan recurrent product independently
+    (per-site parity mode — see models/bigru.py PARITY_PRECISION).
 
     Returns (outputs (B, T, H), h_last (B, H)). Padded output positions are
     zero (matching ``pad_packed_sequence``); ``h_last`` is the hidden state at
@@ -89,7 +98,8 @@ def gru_layer_single_direction(
     dtype = x.dtype
 
     # One big MXU matmul for every timestep's input projection.
-    xp = jnp.einsum("btd,dh->bth", x, params["wi"].astype(dtype)) + params["bi"].astype(dtype)
+    xp = jnp.einsum("btd,dh->bth", x, params["wi"].astype(dtype),
+                    precision=wi_precision) + params["bi"].astype(dtype)
 
     if h0 is None:
         h0 = jnp.zeros((B, H), dtype=dtype)
@@ -99,7 +109,7 @@ def gru_layer_single_direction(
 
     def step(h, inp):
         xp_t, t = inp
-        h_new = gru_cell_step(h, xp_t, wh, bh)
+        h_new = gru_cell_step(h, xp_t, wh, bh, precision=wh_precision)
         valid = (t < lengths)[:, None]
         h_out = jnp.where(valid, h_new, h)  # freeze carry past the end
         y = jnp.where(valid, h_out, jnp.zeros_like(h_out))
@@ -122,6 +132,8 @@ def bigru(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     unroll: int = 8,
+    wi_precision=None,
+    wh_precision=None,
 ):
     """Stacked (bi)directional GRU over a padded batch.
 
@@ -137,11 +149,13 @@ def bigru(
     n_layers = len(layers)
     for li, lp in enumerate(layers):
         y_f, h_f = gru_layer_single_direction(
-            out, lengths, lp["fwd"], reverse=False, unroll=unroll
+            out, lengths, lp["fwd"], reverse=False, unroll=unroll,
+            wi_precision=wi_precision, wh_precision=wh_precision,
         )
         if bidirectional:
             y_b, h_b = gru_layer_single_direction(
-                out, lengths, lp["bwd"], reverse=True, unroll=unroll
+                out, lengths, lp["bwd"], reverse=True, unroll=unroll,
+                wi_precision=wi_precision, wh_precision=wh_precision,
             )
             out = jnp.concatenate([y_f, y_b], axis=-1)
             finals.extend([h_f, h_b])
