@@ -29,6 +29,92 @@ def test_smoothed_ce_matches_torch():
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+def test_one_step_training_parity():
+    """One official train step — forward, CE(ls=0.05) backward, global-norm
+    clip 1.0, Adam 3e-4 (reference train_model_official.py:426-439) — run
+    from identical imported weights in torch-CPU and through
+    train/step.make_batch_train_step must produce the same gradients and the
+    same post-step parameters (<= 1e-4 corpus-wide).
+
+    Dropout is disabled on both sides (torch .eval(); jax dropout rates 0) so
+    the compared gradient is deterministic; everything else — the standardized
+    training forward, packed-GRU backward vs masked-scan backward, loss,
+    clipping, Adam bias correction — is the exact training path. This pins
+    the training-side numeric surface the inference golden tests can't see.
+    """
+    import torch
+
+    from silent_speech_tpu.core.torch_import import import_bigru_classifier
+    from silent_speech_tpu.train.step import (
+        StepConfig,
+        make_batch_train_step,
+    )
+    from tests.test_model_parity import _TorchBiGRUClassifier
+
+    torch.manual_seed(11)
+    tm = _TorchBiGRUClassifier(180, 10, True, standardize_roi=True)
+    tm.eval()  # dropout off: deterministic gradients
+    sd0 = {k: v.clone() for k, v in tm.state_dict().items()}
+
+    rng = np.random.default_rng(5)
+    B, T = 16, 24
+    X = rng.standard_normal((B, T, 180)).astype(np.float32)
+    R = rng.integers(0, 256, (B, T, 48, 96), dtype=np.uint8)
+    L = rng.integers(6, T + 1, size=B).astype(np.int64)
+    L[0] = T
+    y = rng.integers(0, 10, size=B).astype(np.int64)
+
+    # --- torch reference step (train_model_official.py:426-439) ---
+    opt_t = torch.optim.Adam(tm.parameters(), lr=3e-4)
+    logits_t = tm(torch.from_numpy(X), torch.from_numpy(L),
+                  torch.from_numpy(R))
+    loss_t = torch.nn.CrossEntropyLoss(label_smoothing=0.05)(
+        logits_t, torch.from_numpy(y))
+    opt_t.zero_grad()
+    loss_t.backward()
+    tgrad_sd = {k: p.grad.clone() for k, p in tm.named_parameters()}
+    torch.nn.utils.clip_grad_norm_(tm.parameters(), 1.0)
+    opt_t.step()
+
+    # --- same step in this framework ---
+    mcfg = model.BiGRUConfig(x_dim=180, num_classes=10, use_roi=True,
+                             gru_dropout=0.0, head_dropout=0.0)
+    params = jax.tree.map(jnp.asarray, import_bigru_classifier(sd0))
+    Xj = jnp.asarray(X)
+    Lj = jnp.asarray(L.astype(np.int32))
+    Rj = jnp.asarray(R)
+    yj = jnp.asarray(y.astype(np.int32))
+
+    def loss_fn(p):
+        lg = model.train_forward(p, mcfg, Xj, Lj, Rj, train=True,
+                                 rng=jax.random.PRNGKey(0))
+        return smoothed_cross_entropy(lg, yj, 10, 0.05)
+
+    loss_j, jgrads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.item()), atol=1e-5)
+
+    # raw (pre-clip) gradients, torch layout mapped by the same importer
+    tgrads = import_bigru_classifier(tgrad_sd)
+    gerr = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - jnp.asarray(b)))),
+        jgrads, tgrads)))
+    assert gerr <= 1e-4, f"gradient drift {gerr:.2e} vs torch"
+
+    # full jitted step: clip + Adam + apply
+    opt_j = make_optimizer(3e-4)
+    scfg = StepConfig(model=mcfg, label_smoothing=0.05, augment=None)
+    step = make_batch_train_step(scfg, opt_j)
+    new_params, _, _, metrics = step(params, opt_j.init(params),
+                                     jax.random.PRNGKey(0), Xj, Lj, Rj, yj)
+    post_t = import_bigru_classifier(tm.state_dict())
+    perr = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - jnp.asarray(b)))),
+        new_params, post_t)))
+    assert perr <= 1e-4, f"post-step param drift {perr:.2e} vs torch"
+    np.testing.assert_allclose(float(metrics["loss"]), float(loss_t.item()),
+                               atol=1e-5)
+
+
 def test_train_overfits_synthetic_corpus(tmp_path):
     corpus = tmp_path / "clips_npz"
     generate_corpus(str(corpus), clips_per_word=6,
