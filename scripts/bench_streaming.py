@@ -106,7 +106,71 @@ def main():
     results["carry_frame_ms"] = {
         "p50": 1e3 * _p(ts, 0.5), "p95": 1e3 * _p(ts, 0.95)}
 
+    # 4. pipeline=threaded vs sequential at a paced 30 fps camera with an
+    # emulated MediaPipe host cost: per-frame latency (frame ready -> engine
+    # scored) p50/p99, achieved fps, and ring drops. The threaded pipeline
+    # overlaps the landmarker busy-time with device dispatch
+    # (runtime/pipeline.LivePipeline — apps/live.infer_stream
+    # pipeline=threaded); the sequential loop adds them.
+    results["pipeline_30fps"] = _pipeline_compare(wparams, rng)
+
     print(json.dumps(results, default=lambda o: round(float(o), 3)))
+
+
+def _pipeline_compare(wparams, rng, n_frames=240, fps=30.0, lm_cost=0.008):
+    from silent_speech_tpu.core.config import StreamConfig
+    from silent_speech_tpu.infer.streaming import SlidingWindowEngine
+    from silent_speech_tpu.models.variants import gru_word_classifier_forward
+    from silent_speech_tpu.runtime.pipeline import FramePacker, LivePipeline
+
+    period = 1.0 / fps
+    feats = rng.standard_normal((n_frames, 83)).astype(np.float32)
+    wfwd = jax.jit(lambda X: gru_word_classifier_forward(wparams, X))
+    scfg = StreamConfig(max_t=90, pred_every=2, warmup_min=10)
+
+    def paced_source(t0):
+        """30 fps camera + busy-wait landmarker emulation; ts in us."""
+        for i in range(n_frames):
+            target = t0 + i * period
+            now = time.perf_counter()
+            if target > now:
+                time.sleep(target - now)
+            busy_end = time.perf_counter() + lm_cost
+            while time.perf_counter() < busy_end:
+                pass
+            yield feats[i], None, int((time.perf_counter() - t0) * 1e6)
+
+    out = {}
+    for mode in ("sequential", "threaded"):
+        eng = SlidingWindowEngine(wfwd, 83, scfg)
+        eng.push(feats[0])  # compile outside the timed run
+        for _ in range(scfg.warmup_min * scfg.pred_every):
+            eng.push(feats[0])
+        eng.reset()
+        lat = []
+        t0 = time.perf_counter()
+        if mode == "sequential":
+            for feat, _roi, ts_us in paced_source(t0):
+                eng.push(feat)
+                lat.append((time.perf_counter() - t0) * 1e6 - ts_us)
+            dropped = 0
+        else:
+            def sink(feat, _roi, ts_us, _eng=eng, _lat=lat, _t0=t0):
+                _eng.push(feat)
+                _lat.append((time.perf_counter() - _t0) * 1e6 - ts_us)
+
+            pipe = LivePipeline(paced_source(t0), sink,
+                                FramePacker(feat_dim=83), capacity=64)
+            stats = pipe.run(timeout=n_frames * period * 4)
+            dropped = stats["dropped"]
+        wall = time.perf_counter() - t0
+        out[mode] = {
+            "lat_ms_p50": _p(lat, 0.5) / 1e3,
+            "lat_ms_p99": _p(lat, 0.99) / 1e3,
+            "achieved_fps": (len(lat) + dropped) / wall,
+            "dropped": dropped,
+        }
+    return out
 
 
 if __name__ == "__main__":

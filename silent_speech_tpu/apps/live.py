@@ -10,6 +10,8 @@
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 from ..core import InferConfig, StreamConfig
@@ -53,11 +55,10 @@ def _overlay_top3(cv2, out, top3):
 def _load_predictor(cfg: InferConfig):
     """Any checkpoint family — official or variant, .pt or ours
     (infer.predictor.load_predictor routing)."""
+    from ..core.config import serving_kwargs
     from ..infer.predictor import load_predictor
 
-    return load_predictor(cfg.ckpt_path, compute_dtype=cfg.compute_dtype,
-                          roi_impl=cfg.roi_impl, gru_impl=cfg.gru_impl,
-                          matmul_precision=cfg.matmul_precision or None)
+    return load_predictor(cfg.ckpt_path, **serving_kwargs(cfg))
 
 
 def infer_live(cfg: InferConfig = InferConfig(),
@@ -196,18 +197,108 @@ def infer_gated(cfg: InferConfig = InferConfig(),
         cv2.destroyAllWindows()
 
 
-def infer_stream(ckpt_path: str, stream_cfg: StreamConfig = StreamConfig(),
-                 model_path: str = "models/face_landmarker.task",
-                 cam_index: int = 0):
-    """Sliding-window streaming with the 83-D GRUWordClassifier family."""
-    import cv2
+class _CausalUniGRUFrontend:
+    """Causal per-frame preprocessing for carry-streaming a uni-GRU checkpoint.
+
+    The clip pipeline for this family (train/legacy_loops._unigru_preprocess,
+    reference inactive/train_model_1130pm.py:117-127) is non-causal: activity
+    trim, deltas, per-clip z-score, resample to t_target. A continuous stream
+    has no clip to trim/normalize over, so this frontend makes the conscious
+    causal adaptations: deltas become frame-to-frame differences (first
+    frame 0) and the per-clip z-score becomes a running (Welford)
+    standardization that converges to the clip statistics as the stream runs.
+    """
+
+    def __init__(self, d_target: int, use_deltas: bool):
+        self.d_target = d_target
+        self.use_deltas = use_deltas
+        self.prev: Optional[np.ndarray] = None
+        d_in = 2 * d_target if use_deltas else d_target
+        self.n = 0
+        self.mean = np.zeros(d_in, np.float64)
+        self.m2 = np.zeros(d_in, np.float64)
+
+    def reset(self):
+        self.prev = None
+        self.n = 0
+        self.mean[:] = 0.0
+        self.m2[:] = 0.0
+
+    def __call__(self, feat: np.ndarray) -> np.ndarray:
+        from ..core.schema import fix_dim
+
+        f = fix_dim(np.asarray(feat, np.float32)[None], self.d_target)[0]
+        if self.use_deltas:
+            d = np.zeros_like(f) if self.prev is None else f - self.prev
+            self.prev = f
+            f = np.concatenate([f, d])
+        self.n += 1
+        delta = f - self.mean
+        self.mean += delta / self.n
+        self.m2 += delta * (f - self.mean)
+        if self.n < 2:
+            return np.zeros_like(f)
+        std = np.sqrt(self.m2 / self.n)
+        return ((f - self.mean) / (std + 1e-6)).astype(np.float32)
+
+
+def _stream_engine(params, meta, ckpt_path: str, stream_cfg: StreamConfig):
+    """Build (frame_fn, push_fn, input_dim) for the selected engine.
+
+    frame_fn(face, w, h) -> (feat, open_val); push_fn(feat) ->
+    Optional[(label, conf)].
+    """
     import jax
 
-    from ..models.variants import gru_word_classifier_forward
-    from ..ops.features import lip83_features_batched
-    from ..train.checkpoint import load_checkpoint
+    id_to_label = {int(k): v for k, v in meta["id_to_label"].items()}
 
-    params, meta, _ = load_checkpoint(ckpt_path)
+    if stream_cfg.engine == "carry":
+        # unidirectional family only: the GRU carry IS the context
+        if "t_target" not in meta:
+            raise ValueError(
+                "engine=carry needs a uni-GRU checkpoint (the unidirectional "
+                f"train-unigru family); {ckpt_path} is not one — use "
+                "engine=window for the 83-D sliding-window family"
+            )
+        from ..ops.features import extract_features_frame as _eff
+        from ..ops.nn import dense
+
+        d_target = int(meta["d_target"])
+        if d_target != 180:
+            raise ValueError(
+                f"carry streaming extracts the official 180-D live features; "
+                f"this checkpoint was trained at d_target={d_target}"
+            )
+        jparams = jax.tree.map(jnp.asarray, params)
+
+        @jax.jit
+        def head(h):
+            return dense(h, jparams["head"])
+
+        from ..infer.streaming import CarryStreamingGRU
+
+        eng = CarryStreamingGRU(jparams["gru"], head)
+        front = _CausalUniGRUFrontend(d_target, bool(meta.get("use_deltas")))
+        state = {"i": 0}
+
+        def frame_fn(face, w, h, prev_xy):
+            feat, xy_n, _c, _mw = _eff(face, w, h, prev_xy)
+            return front(feat), float(feat[-1]), xy_n
+
+        def push_fn(feat):
+            logits = eng.push(feat)
+            state["i"] += 1
+            if state["i"] % stream_cfg.pred_every:
+                return None
+            m = logits.max()
+            p = np.exp(logits - m)
+            p /= p.sum() + 1e-9
+            pid = int(p.argmax())
+            return id_to_label.get(pid, str(pid)), float(p[pid])
+
+        return frame_fn, push_fn, eng.layers[0]["fwd"]["wi"].shape[0]
+
+    # sliding-window (83-D GRUWordClassifier family)
     if "input_dim" not in meta and ("x_dim" in meta or "vocab" in meta):
         # the reference's own guard (inactive/live_feed.py:137-138): this
         # mode is built for the 83-D streaming family, not the official
@@ -220,50 +311,174 @@ def infer_stream(ckpt_path: str, stream_cfg: StreamConfig = StreamConfig(),
             f"checkpoint — use "
             f"{'infer-live' if kind != 'CTC' else 'infer-ctc'} for it"
         )
-    id_to_label = {int(k): v for k, v in meta["id_to_label"].items()}
+    import jax as _jax
+
+    from ..models.variants import gru_word_classifier_forward
+    from ..ops.features import lip83_features_batched
+
     input_dim = int(meta.get("input_dim", 83))  # the family's fixed default
 
-    @jax.jit
+    @_jax.jit
     def fwd(X):
         return gru_word_classifier_forward(params, X)
 
     engine = SlidingWindowEngine(fwd, input_dim, stream_cfg)
+
+    def frame_fn(face, w, h, prev_xy):
+        feats, openness = lip83_features_batched(jnp.asarray(face[None, None]))
+        return np.asarray(feats)[0, 0], float(np.asarray(openness)[0, 0]), None
+
+    def push_fn(feat):
+        res = engine.push(feat)
+        if res is None:
+            return None
+        pred, conf, _ = res
+        return id_to_label[pred], conf
+
+    return frame_fn, push_fn, input_dim
+
+
+def _stream_overlay(cv2, out, label, conf, open_val, dropped=None):
+    cv2.putText(out, f"{label} ({conf:.2f})", (10, 45),
+                cv2.FONT_HERSHEY_SIMPLEX, 1.5, (0, 255, 0), 3)
+    cv2.putText(out, "Talking" if open_val > 0.04 else "Not talking",
+                (10, 90), cv2.FONT_HERSHEY_SIMPLEX, 1, (255, 255, 255), 2)
+    if dropped is not None:
+        cv2.putText(out, f"drops={dropped}", (10, 130),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.7, (0, 165, 255), 2)
+
+
+def infer_stream(ckpt_path: str, stream_cfg: StreamConfig = StreamConfig(),
+                 model_path: str = "models/face_landmarker.task",
+                 cam_index: int = 0):
+    """Continuous streaming inference (inactive/live_feed.py:154-227).
+
+    ``stream_cfg.engine``: 'window' = sliding-window re-score (83-D
+    GRUWordClassifier family); 'carry' = O(1)-per-frame incremental GRU for
+    uni-GRU checkpoints. ``stream_cfg.pipeline``: 'sequential' = the
+    reference's one-thread loop; 'threaded' = camera+landmarker producer ->
+    C++ SPSC ring -> dispatch thread (runtime/pipeline.LivePipeline) with the
+    drop counter on the overlay and pipeline stats on stdout.
+    """
+    import cv2
+
+    from ..train.checkpoint import load_checkpoint
+
+    if stream_cfg.engine not in ("window", "carry"):
+        raise ValueError(f"unknown engine {stream_cfg.engine!r} "
+                         "(expected 'window' or 'carry')")
+    if stream_cfg.pipeline not in ("sequential", "threaded"):
+        raise ValueError(f"unknown pipeline {stream_cfg.pipeline!r} "
+                         "(expected 'sequential' or 'threaded')")
+
+    params, meta, _ = load_checkpoint(ckpt_path)
+    frame_fn, push_fn, input_dim = _stream_engine(
+        params, meta, ckpt_path, stream_cfg)
+
     lm = FaceLandmarkerSession(model_path, video_mode=False)
     try:
         cam = CameraSource(cam_index)
     except Exception:
         lm.close()
         raise
-    last_label, last_conf = "...", 0.0
 
     try:
-        for frame, ts in cam.frames():
-            face = lm.detect(frame)
-            out = frame
-            open_val = 0.0
-            if face is not None:
-                feats, openness = lip83_features_batched(
-                    jnp.asarray(face[None, None]))
-                open_val = float(np.asarray(openness)[0, 0])
-                res = engine.push(np.asarray(feats)[0, 0])
-                if res is not None:
-                    pred, conf, _ = res
-                    last_label, last_conf = id_to_label[pred], conf
-            cv2.putText(out, f"{last_label} ({last_conf:.2f})", (10, 45),
-                        cv2.FONT_HERSHEY_SIMPLEX, 1.5, (0, 255, 0), 3)
-            cv2.putText(out, "Talking" if open_val > 0.04 else "Not talking",
-                        (10, 90), cv2.FONT_HERSHEY_SIMPLEX, 1, (255, 255, 255), 2)
-            cv2.imshow("live", out)
-            if cv2.waitKey(1) & 0xFF == ord("q"):
-                break
+        if stream_cfg.pipeline == "threaded":
+            _run_stream_threaded(cv2, cam, lm, frame_fn, push_fn,
+                                 input_dim, stream_cfg)
+        else:
+            _run_stream_sequential(cv2, cam, lm, frame_fn, push_fn)
     finally:
         cam.release()
         lm.close()
         cv2.destroyAllWindows()
 
 
+def _run_stream_sequential(cv2, cam, lm, frame_fn, push_fn):
+    last_label, last_conf = "...", 0.0
+    prev_xy = None
+    for frame, ts in cam.frames():
+        face = lm.detect(frame)
+        out = frame
+        open_val = 0.0
+        if face is not None:
+            h, w = out.shape[:2]
+            feat, open_val, prev_xy = frame_fn(face, w, h, prev_xy)
+            res = push_fn(feat)
+            if res is not None:
+                last_label, last_conf = res
+        _stream_overlay(cv2, out, last_label, last_conf, open_val)
+        cv2.imshow("live", out)
+        if cv2.waitKey(1) & 0xFF == ord("q"):
+            break
+
+
+def _run_stream_threaded(cv2, cam, lm, frame_fn, push_fn, input_dim,
+                         stream_cfg: StreamConfig):
+    """Producer (camera+landmarker+features) -> FrameRing -> dispatch thread
+    (engine push); the main thread keeps the UI. MediaPipe latency overlaps
+    device dispatch; ring overflow drops frames (counted and displayed)
+    instead of building hidden lag — the upgrade the reference's sequential
+    loop (inactive/live_feed.py:154-227) couldn't express.
+    """
+    import threading
+    import time as _time
+
+    from ..runtime.pipeline import FramePacker, LivePipeline
+
+    lock = threading.Lock()
+    ui = {"frame": None, "label": "...", "conf": 0.0, "open": 0.0}
+    stop = threading.Event()
+
+    def source():
+        prev_xy = None
+        for frame, ts in cam.frames():
+            if stop.is_set():
+                break
+            face = lm.detect(frame)
+            with lock:
+                ui["frame"] = frame
+            if face is None:
+                continue
+            h, w = frame.shape[:2]
+            feat, open_val, prev_xy = frame_fn(face, w, h, prev_xy)
+            with lock:
+                ui["open"] = open_val
+            yield feat, None, ts
+
+    def sink(feat, roi, ts):
+        res = push_fn(feat)
+        if res is not None:
+            with lock:
+                ui["label"], ui["conf"] = res
+
+    pipe = LivePipeline(source(), sink, FramePacker(feat_dim=input_dim),
+                        capacity=stream_cfg.ring_capacity)
+    pipe.start()
+    try:
+        while not pipe.drained:
+            with lock:
+                frame = ui["frame"]
+                label, conf, open_val = ui["label"], ui["conf"], ui["open"]
+            if frame is not None:
+                out = frame.copy()
+                _stream_overlay(cv2, out, label, conf, open_val,
+                                dropped=pipe.ring.dropped)
+                cv2.imshow("live", out)
+            if cv2.waitKey(1) & 0xFF == ord("q"):
+                stop.set()
+                pipe.stop()
+                break
+            _time.sleep(0.001)
+    finally:
+        stop.set()
+        stats = pipe.finish(timeout=10)
+        print(f"pipeline: produced={stats['produced']} "
+              f"consumed={stats['consumed']} dropped={stats['dropped']}")
+
+
 def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",
-              cam_index: int = 0):
+              cam_index: int = 0, chunk_words: int = 0):
     """CTC dictionary-scored live inference
     (inactive/facial_landmark_detection.py semantics): manual-toggle clips,
     silence-trimmed, every dictionary word scored in one vmapped sweep."""
@@ -280,6 +495,7 @@ def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",
         params, dictionary, max_t=int(meta["max_t"]),
         len_lambda=float(meta.get("len_lambda", 0.02)),
         len_per_char=int(meta.get("exp_len", 5)),
+        chunk_words=chunk_words,
     )
     roi_cfg = InferConfig()
     lm = FaceLandmarkerSession(model_path, video_mode=True)

@@ -94,7 +94,10 @@ class InferConfig:
     compute_dtype: str = "float32"  # "bfloat16" = fast serving mode
     roi_impl: str = "xla"  # "grouped" = bitwise-identical faster ROI CNN
     gru_impl: str = "scan"  # "pallas" = fused sequence kernel (bit-identical)
-    matmul_precision: str = ""  # "highest" = strict on-chip parity mode
+    # "" = the Predictor default ("parity": <=1e-3 on-chip logits at ~1.5%
+    # cost); "default" = backend default matmuls (fastest, 2.6e-3 drift);
+    # "highest" = strict true-f32 mode (5e-6)
+    matmul_precision: str = ""
 
 
 @dataclasses.dataclass
@@ -141,6 +144,15 @@ class StreamConfig:
     max_clip: int = 80
     hold_frames: int = 20
     conf_thresh: float = 0.45
+    # --- TPU-native streaming runtime (no reference counterpart) ---
+    # 'sequential' = the reference's one-thread loop; 'threaded' = capture+
+    # landmarker producer -> C++ SPSC ring -> dispatch thread (runtime/
+    # pipeline.LivePipeline), drops surfaced on the overlay
+    pipeline: str = "sequential"
+    # 'window' = sliding-window re-score (live_feed.py semantics); 'carry' =
+    # O(1)/frame incremental GRU for unidirectional (uni-GRU) checkpoints
+    engine: str = "window"
+    ring_capacity: int = 256
 
 
 @dataclasses.dataclass
@@ -155,7 +167,29 @@ class EvalConfig:
     compute_dtype: str = "float32"
     roi_impl: str = "xla"
     gru_impl: str = "scan"
-    matmul_precision: str = ""  # "highest" = strict on-chip parity mode
+    # "" = the Predictor default ("parity": <=1e-3 on-chip logits at ~1.5%
+    # cost); "default" = backend default matmuls (fastest, 2.6e-3 drift);
+    # "highest" = strict true-f32 mode (5e-6)
+    matmul_precision: str = ""
+    # data-parallel serving sweep over a device mesh, e.g. {"data": 8}
+    # (Predictor.shard; batches shard on 'data', params replicate)
+    mesh_shape: Optional[dict] = None
+
+
+def serving_kwargs(cfg) -> dict:
+    """Predictor serving kwargs from an Infer/EvalConfig.
+
+    ``matmul_precision``: empty string defers to the Predictor default
+    ('parity'); 'default'/'none' force backend-default matmuls; anything else
+    ('high', 'highest', 'parity') passes through."""
+    kw = dict(compute_dtype=cfg.compute_dtype, roi_impl=cfg.roi_impl,
+              gru_impl=cfg.gru_impl)
+    if cfg.matmul_precision:
+        kw["matmul_precision"] = (
+            None if cfg.matmul_precision in ("default", "none")
+            else cfg.matmul_precision
+        )
+    return kw
 
 
 def _parse_dict_override(raw: str) -> dict:

@@ -112,23 +112,54 @@ class LivePipeline:
             self._error = e
             self._stop.set()
 
-    def run(self, timeout: Optional[float] = None):
+    def start(self):
+        """Launch the producer and dispatch threads without blocking — the
+        caller (an app) keeps its own main-thread UI loop and calls
+        ``finish()`` when done. ``run()`` is start + finish."""
         self._error: Optional[BaseException] = None
-        tp = threading.Thread(target=self._producer, daemon=True)
-        tc = threading.Thread(target=self._consumer, daemon=True)
-        tp.start()
-        tc.start()
-        tp.join(timeout)
+        self._tp = threading.Thread(target=self._producer, daemon=True)
+        self._tc = threading.Thread(target=self._consumer, daemon=True)
+        self._tp.start()
+        self._tc.start()
+        return self
+
+    def stop(self):
+        """Ask both workers to wind down (producer stops at the next frame;
+        the consumer drains the ring first)."""
         self._stop.set()
-        tc.join(timeout)
+
+    @property
+    def running(self) -> bool:
+        return self._tp.is_alive() or self._tc.is_alive()
+
+    @property
+    def drained(self) -> bool:
+        """True once the producer has finished AND the ring is empty — the
+        UI loop's exit condition (the consumer thread itself only exits via
+        stop()/finish(), so waiting on ``running`` would deadlock)."""
+        return not self._tp.is_alive() and len(self.ring) == 0
+
+    def finish(self, timeout: Optional[float] = None) -> dict:
+        """Join both workers and return the run stats (re-raising any worker
+        failure)."""
+        self._tp.join(timeout)
+        self._stop.set()
+        self._tc.join(timeout)
         if self._error is not None:
             raise RuntimeError(
                 f"pipeline worker failed after produced={self._produced} "
                 f"consumed={self._consumed}"
             ) from self._error
+        return self.stats()
+
+    def stats(self) -> dict:
         return dict(
             produced=self._produced,
             consumed=self._consumed,
             dropped=self.ring.dropped,
             stages=self.timer.summary(),
         )
+
+    def run(self, timeout: Optional[float] = None):
+        self.start()
+        return self.finish(timeout)

@@ -192,6 +192,77 @@ def test_infer_stream_sliding_window(tmp_path):
     assert any("(" in t and ")" in t for t in cv2f.texts)
 
 
+def _save_window_ckpt(tmp_path):
+    from silent_speech_tpu.models.variants import init_gru_word_classifier
+
+    params = jax.tree.map(
+        np.asarray, init_gru_word_classifier(jax.random.PRNGKey(0), 83, 5))
+    meta = dict(input_dim=83, max_t=40,
+                id_to_label={i: w for i, w in enumerate(LABELS[:5])})
+    ckpt = str(tmp_path / "s.ckpt")
+    save_checkpoint(ckpt, params, meta)
+    return ckpt
+
+
+def _save_unigru_ckpt(tmp_path):
+    from silent_speech_tpu.models.variants import init_unigru_classifier
+
+    params = jax.tree.map(
+        np.asarray, init_unigru_classifier(jax.random.PRNGKey(1), 360, 5))
+    meta = dict(model="unigru", d_in=360, t_target=32, d_target=180,
+                use_deltas=True, trim=dict(margin=2, q=0.6, min_keep=6),
+                id_to_label={i: w for i, w in enumerate(LABELS[:5])})
+    ckpt = str(tmp_path / "u.ckpt")
+    save_checkpoint(ckpt, params, meta)
+    return ckpt
+
+
+def test_infer_stream_threaded_pipeline(tmp_path, capsys):
+    """pipeline=threaded: camera+landmarker producer -> C++ SPSC ring ->
+    dispatch thread (runtime/pipeline.LivePipeline) with the drop counter
+    surfaced — every sim frame must arrive exactly once at the engine."""
+    ckpt = _save_window_ckpt(tmp_path)
+    n = 30
+    with sim_session(keys=[], n_frames=n, faces=face_track(n)):
+        live.infer_stream(
+            ckpt, StreamConfig(max_t=20, warmup_min=4, pipeline="threaded"))
+    out = capsys.readouterr().out
+    assert f"produced={n} consumed={n} dropped=0" in out
+
+
+def test_infer_stream_carry_engine(tmp_path):
+    """engine=carry: O(1)-per-frame incremental GRU on a uni-GRU checkpoint
+    (the TPU-native streaming upgrade; causal delta/standardization
+    frontend)."""
+    ckpt = _save_unigru_ckpt(tmp_path)
+    n = 24
+    with sim_session(keys=[], n_frames=n, faces=face_track(n)) as (cv2f, _, _):
+        live.infer_stream(ckpt, StreamConfig(engine="carry", pred_every=2))
+    # the overlay ran with a real prediction at least once
+    assert any("(" in t and ")" in t for t in cv2f.texts)
+
+
+def test_infer_stream_carry_threaded(tmp_path, capsys):
+    ckpt = _save_unigru_ckpt(tmp_path)
+    n = 20
+    with sim_session(keys=[], n_frames=n, faces=face_track(n)):
+        live.infer_stream(ckpt, StreamConfig(engine="carry",
+                                             pipeline="threaded"))
+    assert f"produced={n} consumed={n} dropped=0" in capsys.readouterr().out
+
+
+def test_infer_stream_engine_guards(tmp_path):
+    """engine=carry on a non-unigru checkpoint and unknown engine/pipeline
+    values fail loudly before any camera opens."""
+    ckpt = _save_window_ckpt(tmp_path)
+    with pytest.raises(ValueError, match="uni-GRU"):
+        live.infer_stream(ckpt, StreamConfig(engine="carry"))
+    with pytest.raises(ValueError, match="unknown engine"):
+        live.infer_stream(ckpt, StreamConfig(engine="bogus"))
+    with pytest.raises(ValueError, match="unknown pipeline"):
+        live.infer_stream(ckpt, StreamConfig(pipeline="bogus"))
+
+
 def test_infer_ctc_loop(tmp_path, capsys):
     from silent_speech_tpu.models import ctc_model
 
