@@ -37,6 +37,24 @@ def make_mesh(
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def mesh_from_shape(shape: dict) -> Mesh:
+    """Build a ('data','model') mesh from a CLI-style shape dict
+    ({'data': 4, 'model': 2}; 'data' omitted = all remaining devices).
+
+    Falls back to the virtual CPU host devices when the default backend has
+    fewer devices than the shape needs (testing / emulation — the standard
+    XLA_FLAGS=--xla_force_host_platform_device_count workflow)."""
+    model_axis = int(shape.get("model", 1))
+    data_axis = shape.get("data")
+    if data_axis is not None:
+        data_axis = int(data_axis)
+    need = (data_axis or 1) * model_axis
+    devices = jax.devices()
+    if len(devices) < need:
+        devices = jax.devices("cpu")
+    return make_mesh(devices, data=data_axis, model=model_axis)
+
+
 def batch_spec(mesh: Optional[Mesh] = None) -> P:
     """Batch arrays shard their leading axis over every non-'model' mesh axis
     — P('data') on a ('data','model') mesh, P(('dcn','data')) on a multislice

@@ -73,8 +73,13 @@ def make_sharded_infer_fn(
     mesh: Mesh,
     *,
     compute_dtype=jnp.float32,
+    roi_impl: str = "xla",
+    gru_impl: str = "scan",
+    matmul_precision=None,
 ):
-    """Data-parallel batched live-forward for serving sweeps."""
+    """Data-parallel batched live-forward for serving sweeps — the full
+    serving-knob surface of infer.Predictor (Predictor.shard wires this in
+    behind ``eval-dataset mesh_shape=``)."""
     bspec = batch_spec(mesh)
     batch_sh = NamedSharding(mesh, bspec)
 
@@ -82,7 +87,9 @@ def make_sharded_infer_fn(
     def fwd(params, X, lengths, roi):
         X = jax.lax.with_sharding_constraint(X, batch_sh)
         return model.live_forward(
-            params, scfg_model, X, lengths, roi, compute_dtype=compute_dtype
+            params, scfg_model, X, lengths, roi, compute_dtype=compute_dtype,
+            roi_impl=roi_impl, gru_impl=gru_impl,
+            matmul_precision=matmul_precision,
         )
 
     def run(params, X, lengths, roi):

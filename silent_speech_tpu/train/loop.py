@@ -129,19 +129,13 @@ def train(
 
     mesh = None
     if cfg.mesh_shape:
-        from ..parallel import make_mesh, make_sharded_train_step
+        from ..parallel import make_sharded_train_step
+        from ..parallel.mesh import mesh_from_shape
 
-        model_axis = int(cfg.mesh_shape.get("model", 1))
-        data_axis = cfg.mesh_shape.get("data")
-        need = (data_axis or 1) * model_axis
-        devices = jax.devices()
-        if len(devices) < need:
-            # fall back to virtual CPU host devices (testing / emulation)
-            devices = jax.devices("cpu")
-        mesh = make_mesh(devices, data=data_axis, model=model_axis)
+        mesh = mesh_from_shape(cfg.mesh_shape)
         params, opt_state, sharded_step = make_sharded_train_step(
             scfg, optimizer, mesh, params,
-            tensor_parallel=(model_axis > 1),
+            tensor_parallel=(int(cfg.mesh_shape.get("model", 1)) > 1),
         )
         if resumed_opt_leaves is not None:
             # re-apply the resumed optimizer state over the sharded structure

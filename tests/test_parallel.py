@@ -119,6 +119,25 @@ def test_grad_sync_is_global_mean(cpu_mesh_devices, rng):
     assert max(diffs) > 1e-6
 
 
+def test_predictor_shard_matches_unsharded(cpu_mesh_devices, rng):
+    """Predictor.shard (the eval-dataset mesh_shape= path) must reproduce the
+    unsharded logits exactly, including on a ragged batch that needs
+    data-axis padding."""
+    from silent_speech_tpu.infer.predictor import Predictor
+
+    mcfg, params = _setup()
+    i2l = {i: w for i, w in enumerate(["a", "b", "c", "d", "e"])}
+    p_ref = Predictor(params=params, cfg=mcfg, id_to_label=i2l, max_t=12)
+    p_sh = Predictor(params=params, cfg=mcfg, id_to_label=i2l, max_t=12)
+    p_sh.shard(make_mesh(cpu_mesh_devices, data=4, model=2))
+
+    for B in (8, 5):  # 5 is ragged on data=4 -> pad path
+        X, lengths, roi, _y = _batch(rng, B)
+        a = p_ref.predict_batch(X, lengths, roi)
+        b = p_sh.predict_batch(X, lengths, roi)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_train_loop_with_mesh(tmp_path, cpu_mesh_devices):
     """TrainConfig.mesh_shape drives the full official loop through the
     sharded DP step on the virtual mesh."""
