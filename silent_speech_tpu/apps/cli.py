@@ -155,8 +155,19 @@ def _pop_model_path(kv) -> dict:
     return {}
 
 
+# commands whose app mains take the mediapipe model_path= parameter; any
+# other command leaves model_path in kv so apply_overrides/_extras reject it
+# as an unknown option instead of silently swallowing it
+_CAMERA_CMDS = frozenset({
+    "record", "record-timed", "infer-live", "infer-gated", "infer-stream",
+    "landmarks-view", "important-landmarks", "infer-ctc",
+})
+
+
 def _dispatch_cmd(cmd, kv, flags) -> int:
-    mp = _pop_model_path(kv)
+    mp = _pop_model_path(kv) if cmd in _CAMERA_CMDS else {}
+    if cmd in ("doctor", "bench") and kv:
+        raise ValueError(f"{cmd} takes no options (got {', '.join(kv)})")
     if cmd == "record":
         from .record import main as run
         run(apply_overrides(RecorderConfig(), kv), **mp)
@@ -205,27 +216,32 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
                      apply_overrides(StreamConfig(), scfg_kv),
                      cam_index=int(extras.get("cam_index", 0)), **mp)
     elif cmd == "eval-dataset":
+        from ..core.config import serving_kwargs
         from ..infer import VariantPredictor, evaluate_dataset, load_predictor
         from ..infer.evaluator import evaluate_variant_dataset
         cfg = apply_overrides(EvalConfig(), kv)
-        pred = load_predictor(cfg.ckpt_path, compute_dtype=cfg.compute_dtype,
-                              roi_impl=cfg.roi_impl, gru_impl=cfg.gru_impl,
-                              matmul_precision=cfg.matmul_precision or None)
+        pred = load_predictor(cfg.ckpt_path, **serving_kwargs(cfg))
         if isinstance(pred, VariantPredictor):
-            # batch_size does not apply: variant families predict per clip
+            # batch_size / mesh_shape do not apply: variant families predict
+            # per clip
             evaluate_variant_dataset(pred, cfg.clip_dir,
                                      top_confusions=cfg.top_confusions)
         else:
+            if cfg.mesh_shape:
+                from ..parallel.mesh import mesh_from_shape
+                pred.shard(mesh_from_shape(cfg.mesh_shape))
             evaluate_dataset(pred, cfg.clip_dir, batch_size=cfg.batch_size,
                              top_confusions=cfg.top_confusions)
     elif cmd == "eval-ctc":
         from ..infer.evaluator import evaluate_ctc_dataset
-        extras = _extras(kv, "ckpt_path", "clip_dir")
+        extras = _extras(kv, "ckpt_path", "clip_dir", "chunk_words")
         if "ckpt_path" not in extras:
-            print("usage: eval-ctc ckpt_path=<path> [clip_dir=clips_npz]")
+            print("usage: eval-ctc ckpt_path=<path> [clip_dir=clips_npz] "
+                  "[chunk_words=N]")
             return 2
         evaluate_ctc_dataset(extras["ckpt_path"],
-                             extras.get("clip_dir", "clips_npz"))
+                             extras.get("clip_dir", "clips_npz"),
+                             chunk_words=int(extras.get("chunk_words", 0)))
     elif cmd == "landmarks-view":
         from .landmarks_view import main as run
         extras = _extras(kv, "cam_index", "label_every")
@@ -240,12 +256,14 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
             ema_alpha=float(extras.get("ema_alpha", 0.3)), **mp)
     elif cmd == "infer-ctc":
         from .live import infer_ctc
-        extras = _extras(kv, "ckpt_path", "cam_index")
+        extras = _extras(kv, "ckpt_path", "cam_index", "chunk_words")
         if "ckpt_path" not in extras:
-            print("usage: infer-ctc ckpt_path=<path> [cam_index=N]")
+            print("usage: infer-ctc ckpt_path=<path> [cam_index=N] "
+                  "[chunk_words=N]")
             return 2
         infer_ctc(extras["ckpt_path"],
-                  cam_index=int(extras.get("cam_index", 0)), **mp)
+                  cam_index=int(extras.get("cam_index", 0)),
+                  chunk_words=int(extras.get("chunk_words", 0)), **mp)
     elif cmd == "export-torch":
         extras = _extras(kv, "ckpt_path", "out_path")
         if "ckpt_path" not in extras or "out_path" not in extras:

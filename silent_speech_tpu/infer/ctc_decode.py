@@ -77,12 +77,20 @@ class CTCDecoder:
         trim_open_idx: int = -3,
         trim_thresh: float = 0.05,
         trim_pad: int = 2,
+        chunk_words: int = 0,
     ):
+        """``chunk_words``: score the dictionary in fixed-size chunks instead
+        of one vmapped sweep — the lattice allocation drops from
+        (N, T, S_pad) f32 to (chunk, T, S_pad), bounding HBM for
+        open-vocabulary (10k+) dictionaries (docs/CTC_PERF.md has the
+        measured scaling law). 0 = one-shot (fastest at small N). Chunked
+        scores are identical to the one-shot sweep (tests/test_ctc.py)."""
         self.params = params
         self.dict = dictionary
         self.max_t = max_t
         self.len_lambda = len_lambda
         self.len_per_char = len_per_char
+        self.chunk_words = int(chunk_words)
         self.trim_kw = dict(open_idx=trim_open_idx, thresh=trim_thresh, pad=trim_pad)
 
         @jax.jit
@@ -107,10 +115,7 @@ class CTCDecoder:
             self.params, jnp.asarray(Xp[None]), jnp.asarray(Rp[None]),
             jnp.asarray(np.asarray([T], np.int32)),
         )[0]
-        scores = ctc_word_logprobs_batch(
-            lp, jnp.asarray(self.dict.ids), jnp.asarray(self.dict.lens),
-            jnp.asarray(np.int32(T)),
-        )
+        scores = self._dict_scores(lp, T)
         if self.len_lambda > 0:
             scores = length_prior_penalty(
                 scores, jnp.asarray(self.dict.lens), jnp.asarray(np.int32(T)),
@@ -119,6 +124,32 @@ class CTCDecoder:
         s = np.asarray(scores)
         order = np.argsort(s)[::-1]
         return [(self.dict.words[i], float(s[i])) for i in order]
+
+    def _dict_scores(self, lp, T: int):
+        """One-shot or chunked dictionary sweep (identical results)."""
+        N = len(self.dict.words)
+        cw = self.chunk_words
+        Tj = jnp.asarray(np.int32(T))
+        if not cw or N <= cw:
+            return ctc_word_logprobs_batch(
+                lp, jnp.asarray(self.dict.ids), jnp.asarray(self.dict.lens),
+                Tj,
+            )
+        outs = []
+        for s0 in range(0, N, cw):
+            ids = self.dict.ids[s0:s0 + cw]
+            lens = self.dict.lens[s0:s0 + cw]
+            n = len(ids)
+            if n < cw:
+                # pad the ragged tail to the fixed chunk shape so every
+                # chunk hits the same jit cache entry
+                ids = np.concatenate(
+                    [ids, np.zeros((cw - n, ids.shape[1]), np.int32)])
+                lens = np.concatenate([lens, np.ones(cw - n, np.int32)])
+            sc = ctc_word_logprobs_batch(
+                lp, jnp.asarray(ids), jnp.asarray(lens), Tj)
+            outs.append(np.asarray(sc)[:n])
+        return jnp.asarray(np.concatenate(outs))
 
     def predict(self, X: np.ndarray, roi: np.ndarray) -> Optional[str]:
         ranked = self.score_clip(X, roi)

@@ -121,3 +121,30 @@ def test_dictionary_batch_scoring(rng):
                                len_lambda=0.02)
     ref_pen = np.asarray(scores) - 0.02 * np.abs(T - lens * 5)
     np.testing.assert_allclose(np.asarray(pen), ref_pen, atol=1e-5)
+
+
+def test_ctc_dict_chunked_equals_oneshot(rng):
+    """chunk_words=N (the open-vocabulary HBM bound, docs/CTC_PERF.md) must
+    reproduce the one-shot vmapped sweep exactly, including the padded
+    ragged tail chunk."""
+    import jax
+
+    from silent_speech_tpu.infer.ctc_decode import CTCDecoder, Dictionary
+    from silent_speech_tpu.models import ctc_model
+
+    params = ctc_model.init_params(jax.random.PRNGKey(0), 180, hidden=16,
+                                   gru_layers=2, roi_emb=4)
+    words = ["yes", "no", "hello", "please", "thanks", "six", "seven",
+             "lebron", "aura", "fahhh"]
+    d = Dictionary.from_words(words)
+    X = rng.standard_normal((20, 180)).astype(np.float32)
+    X[:, -3] = 1.0  # openness channel active: silence trim keeps all frames
+    R = rng.integers(0, 256, (20, 48, 96), dtype=np.uint8)
+
+    one = CTCDecoder(params, d, max_t=24).score_clip(X, R)
+    for cw in (3, 4, 10, 64):  # ragged tail, exact division, >N
+        chunked = CTCDecoder(params, d, max_t=24,
+                             chunk_words=cw).score_clip(X, R)
+        assert [w for w, _ in chunked] == [w for w, _ in one]
+        np.testing.assert_allclose([s for _, s in chunked],
+                                   [s for _, s in one], rtol=1e-5, atol=1e-5)
