@@ -119,6 +119,14 @@ def save_clip(clip: Clip, path: str, *, min_frames: int = 5) -> str:
     return path
 
 
+def sanitize_field(s: str) -> str:
+    """The filename-field sanitization clip_filename applies ('_' is the
+    field separator, so embedded underscores become dashes). Use this when
+    comparing an npz-stored label (kept verbatim) against a filename-parsed
+    label, or the two forms of 'my_word' would never match."""
+    return str(s).replace("_", "-")
+
+
 def clip_filename(speaker: str, label: str, unixtime: int, clip_id: int) -> str:
     """Reference filename convention (record_landmarks_official.py:249).
 
@@ -126,8 +134,8 @@ def clip_filename(speaker: str, label: str, unixtime: int, clip_id: int) -> str:
     '_' is the field separator, so 'john_doe' would make every filename-label
     parser downstream read 'doe' (the reference had this latent corruption;
     consciously fixed)."""
-    speaker = str(speaker).replace("_", "-")
-    label = str(label).replace("_", "-")
+    speaker = sanitize_field(speaker)
+    label = sanitize_field(label)
     return f"{speaker}_{label}_{unixtime}_{clip_id:04d}.npz"
 
 

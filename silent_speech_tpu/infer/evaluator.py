@@ -17,7 +17,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.schema import fix_dim, load_clip, parse_filename_label
+from ..core.schema import fix_dim, load_clip, parse_filename_label, sanitize_field
 from ..data.corpus import scan_corpus
 from ..data.native_loader import load_corpus_arrays
 from .predictor import Predictor
@@ -82,6 +82,11 @@ def evaluate_dataset(
             preds = probs.argmax(-1)
             for i, pid in enumerate(preds):
                 pred_word = predictor.id_to_label.get(int(pid), str(int(pid)))
+                if label_from_filename:
+                    # filenames store the sanitized ('_'->'-') form; compare
+                    # the prediction in the same form or 'my_word' clips
+                    # would always score wrong
+                    pred_word = sanitize_field(pred_word)
                 true_word = true_labels[s + i]
                 cm[(true_word, pred_word)] += 1
                 correct += int(pred_word == true_word)
@@ -124,6 +129,8 @@ def evaluate_variant_dataset(
         c = load_clip(f)
         top = predictor.predict_features(c.X.astype(np.float32), k=1)
         pred_word, conf = top[0]
+        if label_from_filename:
+            pred_word = sanitize_field(pred_word)
         true_word = parse_filename_label(f) if label_from_filename else c.label
         cm[(true_word, pred_word)] += 1
         correct += int(pred_word == true_word)
@@ -162,7 +169,7 @@ def evaluate_temporal_cnn(
         logits = np.asarray(temporal_cnn_forward(params, jnp.asarray(X[None])))
         probs = _softmax(logits)[0]
         pid = int(probs.argmax())
-        pred_word = id_to_word.get(pid, str(pid))
+        pred_word = sanitize_field(id_to_word.get(pid, str(pid)))
         true_word = parse_filename_label(f)
         cm[(true_word, pred_word)] += 1
         correct += int(pred_word == true_word)
@@ -184,6 +191,7 @@ def evaluate_ctc_dataset(
     clip_dir: str,
     *,
     verbose: bool = True,
+    chunk_words: int = 0,
 ) -> dict:
     """Dictionary-scored CTC sweep over a corpus: accuracy + top confusions.
 
@@ -203,6 +211,7 @@ def evaluate_ctc_dataset(
         params, Dictionary.from_words(uniq), max_t=int(meta["max_t"]),
         len_lambda=float(meta.get("len_lambda", 0.02)),
         len_per_char=int(meta.get("exp_len", 5)),
+        chunk_words=chunk_words,
     )
     index = scan_corpus(clip_dir, verbose=False)
     correct = total = 0

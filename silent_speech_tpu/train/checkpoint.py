@@ -205,8 +205,19 @@ def _remove_path(p: str) -> None:
 
 
 def _swap_into_place(tmp: str, path: str) -> None:
-    _remove_path(path)
+    """Replace ``path`` with ``tmp`` keeping one valid checkpoint on disk at
+    every instant: the old checkpoint is renamed aside to a .bak sibling,
+    the new one renamed in, then the .bak removed — a crash between any two
+    steps leaves either the new checkpoint at ``path`` or the old one at
+    ``path``/``path.bak`` (never neither)."""
+    bak = path + ".bak"
+    _remove_path(bak)  # stale .bak from an earlier crash
+    had_old = os.path.exists(path)
+    if had_old:
+        os.rename(path, bak)
     os.rename(tmp, path)
+    if had_old:
+        _remove_path(bak)
 
 
 def wait_for_async_saves() -> None:

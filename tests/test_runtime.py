@@ -66,6 +66,77 @@ def test_ringbuf_spsc_stress():
     assert got == list(range(N))
 
 
+def test_landmarker_asset_resolution(tmp_path, monkeypatch):
+    """resolve_landmarker_asset order: explicit path -> $SILENT_SPEECH_LANDMARKER
+    -> repo-root relative; missing -> FileNotFoundError with download
+    instructions (runtime/capture.py:30-50 — the first code path a real
+    camera user hits, reference record_landmarks_official.py:150-154)."""
+    import os
+
+    from silent_speech_tpu.runtime.capture import (
+        LANDMARKER_ENV,
+        LANDMARKER_URL,
+        resolve_landmarker_asset,
+    )
+
+    # 1. explicit existing path wins
+    asset = tmp_path / "face_landmarker.task"
+    asset.write_bytes(b"fake-tflite-bundle")
+    monkeypatch.delenv(LANDMARKER_ENV, raising=False)
+    assert resolve_landmarker_asset(str(asset)) == str(asset)
+
+    # 2. env var fallback when the explicit path is missing
+    monkeypatch.setenv(LANDMARKER_ENV, str(asset))
+    assert resolve_landmarker_asset("models/no_such_bundle.task") == str(asset)
+
+    # 3. repo-root-relative fallback (the reference's hardcoded layout)
+    monkeypatch.delenv(LANDMARKER_ENV, raising=False)
+    import silent_speech_tpu.runtime.capture as capture_mod
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(capture_mod.__file__))))
+    rel = "models/_test_landmarker_asset.task"
+    root_asset = os.path.join(repo_root, rel)
+    os.makedirs(os.path.dirname(root_asset), exist_ok=True)
+    try:
+        with open(root_asset, "wb") as f:
+            f.write(b"fake")
+        monkeypatch.chdir(tmp_path)  # rel must NOT resolve via cwd
+        assert resolve_landmarker_asset(rel) == root_asset
+    finally:
+        os.remove(root_asset)
+
+    # 4. missing everywhere -> actionable error with the download command
+    with pytest.raises(FileNotFoundError) as ei:
+        resolve_landmarker_asset("models/no_such_bundle.task")
+    msg = str(ei.value)
+    assert LANDMARKER_URL in msg and LANDMARKER_ENV in msg and "curl" in msg
+
+
+def test_landmarker_session_smoke():
+    """L1 smoke: lights up automatically the moment the env gains mediapipe
+    (+ the .task asset). Opens a real FaceLandmarkerSession and runs detect on
+    a synthetic faceless image — must return None, not crash
+    (reference record_landmarks_official.py:150-154,163,172-174)."""
+    pytest.importorskip("mediapipe")
+    pytest.importorskip("cv2")
+    from silent_speech_tpu.runtime.capture import (
+        FaceLandmarkerSession,
+        resolve_landmarker_asset,
+    )
+
+    try:
+        resolve_landmarker_asset("models/face_landmarker.task")
+    except FileNotFoundError:
+        pytest.skip("face_landmarker.task asset not present")
+
+    for video_mode in (True, False):
+        sess = FaceLandmarkerSession(video_mode=video_mode)
+        frame = np.full((240, 320, 3), 127, np.uint8)  # no face
+        out = sess.detect(frame, ts_ms=33)
+        assert out is None or out.shape == (468, 3)
+        sess.close()
+
+
 @pytest.mark.skipif(not native.available(), reason="native lib unavailable")
 def test_native_loader_matches_numpy(tmp_path):
     generate_corpus(str(tmp_path), clips_per_word=3, seed=11)
