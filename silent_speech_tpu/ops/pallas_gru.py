@@ -91,7 +91,7 @@ def _gru_fusedproj_kernel(K, len_ref, x_ref, wi_ref, bi_ref, wh_ref, bh_ref,
     wh = wh_ref[:]  # (H, 3H)
     bh = bh_ref[0, :]
 
-    x_blk = x_ref[:]  # (K, TB, D)
+    x_blk = x_ref[:].astype(jnp.float32)  # (K, TB, D); bf16 stream casts up
     D = x_blk.shape[-1]
     xp_all = (
         jnp.dot(x_blk.reshape(K * TB, D), wi,
@@ -116,7 +116,8 @@ def _gru_fusedproj_kernel(K, len_ref, x_ref, wi_ref, bi_ref, wh_ref, bh_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("batch_tile", "k_steps", "interpret")
+    jax.jit, static_argnames=("batch_tile", "k_steps", "interpret",
+                              "stream_bf16")
 )
 def gru_sequence_pallas(
     x: jnp.ndarray,
@@ -129,12 +130,18 @@ def gru_sequence_pallas(
     batch_tile: int = 512,
     k_steps: int = 4,
     interpret: Optional[bool] = None,
+    stream_bf16: bool = False,
 ):
     """Run a full GRU direction from the raw inputs (projection fused).
 
     x: (B, T, D) f32; lengths: (B,) i32; wi: (D, 3H); bi: (3H,);
     wh: (H, 3H); bh: (3H,). Returns outputs (B, T, H) with padded positions
     zeroed, identical to ops.gru.gru_layer_single_direction's outputs.
+
+    ``stream_bf16``: DMA the input block into VMEM as bfloat16 (half the x
+    bytes) and cast up in-kernel; all math stays f32. Measured ~nothing at
+    official shapes and at H=1024 scaled shapes the kernel is matmul-bound,
+    not x-DMA-bound, so this stays opt-in (docs/GRU_PERF.md).
     """
     if interpret is None:
         interpret = default_interpret()
@@ -175,7 +182,8 @@ def gru_sequence_pallas(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(len2d, x_tm.astype(jnp.float32),
+    )(len2d,
+      x_tm.astype(jnp.bfloat16 if stream_bf16 else jnp.float32),
       wi.astype(jnp.float32), bi.astype(jnp.float32).reshape(1, H3),
       wh.astype(jnp.float32), bh.astype(jnp.float32).reshape(1, H3))
     return y_tm.swapaxes(0, 1)[:B, :T]
