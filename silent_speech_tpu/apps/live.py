@@ -58,7 +58,11 @@ def _load_predictor(cfg: InferConfig):
     from ..core.config import serving_kwargs
     from ..infer.predictor import load_predictor
 
-    return load_predictor(cfg.ckpt_path, **serving_kwargs(cfg))
+    pred = load_predictor(cfg.ckpt_path, **serving_kwargs(cfg))
+    if cfg.warmup and hasattr(pred, "warmup"):
+        print("Warming up the jit cache (pre-compiling clip shapes)...")
+        pred.warmup()
+    return pred
 
 
 def infer_live(cfg: InferConfig = InferConfig(),

@@ -94,10 +94,15 @@ class InferConfig:
     compute_dtype: str = "float32"  # "bfloat16" = fast serving mode
     roi_impl: str = "xla"  # "grouped" = bitwise-identical faster ROI CNN
     gru_impl: str = "scan"  # "pallas" = fused sequence kernel (bit-identical)
-    # "" = the Predictor default ("parity": <=1e-3 on-chip logits at ~1.5%
+    # "" = the Predictor default ("parity": <=1e-3 on-chip logits at ~1%
     # cost); "default" = backend default matmuls (fastest, 2.6e-3 drift);
     # "highest" = strict true-f32 mode (5e-6)
     matmul_precision: str = ""
+    # pre-compile every (bucket, B=1) shape at startup so the first clip
+    # predicts at steady-state latency instead of paying the first-compile
+    # cost mid-session (Predictor.warmup; docs/PRECISION.md has measured
+    # first-compile times)
+    warmup: bool = False
 
 
 @dataclasses.dataclass
@@ -167,7 +172,7 @@ class EvalConfig:
     compute_dtype: str = "float32"
     roi_impl: str = "xla"
     gru_impl: str = "scan"
-    # "" = the Predictor default ("parity": <=1e-3 on-chip logits at ~1.5%
+    # "" = the Predictor default ("parity": <=1e-3 on-chip logits at ~1%
     # cost); "default" = backend default matmuls (fastest, 2.6e-3 drift);
     # "highest" = strict true-f32 mode (5e-6)
     matmul_precision: str = ""

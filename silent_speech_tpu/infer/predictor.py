@@ -161,6 +161,22 @@ class Predictor:
         self._fwd = fwd
         return self
 
+    def warmup(self, batch_sizes: Sequence[int] = (1,)) -> "Predictor":
+        """Pre-compile the forward for every (bucket, batch) shape so the
+        first live clip predicts at steady-state latency instead of paying
+        the first-compile cost mid-session (tens of seconds to minutes on a
+        remote-compile backend — docs/PRECISION.md has measured times).
+        Compiles are cached by HLO content, so warmup is a no-op when the
+        cache is hot."""
+        for B in batch_sizes:
+            for Tb in self.buckets:
+                X = np.zeros((B, Tb, self.cfg.x_dim), np.float32)
+                L = np.full((B,), min(self.min_frames, Tb), np.int32)
+                R = (np.zeros((B, Tb, self.cfg.roi_h, self.cfg.roi_w),
+                              np.uint8) if self.cfg.use_roi else None)
+                self.predict_batch(X, L, R)
+        return self
+
     def predict_arrays(
         self,
         feats: np.ndarray,

@@ -205,3 +205,24 @@ def test_trim_silence_and_ctc_decoder(rng):
     assert len(ranked) == 3
     assert dec.predict(X, R) in {"yes", "no", "hello"}
     assert ranked[0][1] >= ranked[-1][1]
+
+
+def test_predictor_warmup_precompiles_buckets():
+    """warmup() must hit every (bucket, B=1) jit entry so the first real
+    clip predict is cache-hot (no new compile)."""
+    import jax
+
+    from silent_speech_tpu.models import bigru as model
+
+    cfg = model.BiGRUConfig(x_dim=12, num_classes=3, use_roi=True, hidden=8,
+                            roi_emb=4, head_hidden=8)
+    params = model.init_params(jax.random.PRNGKey(0), cfg)
+    p = Predictor(params=params, cfg=cfg, id_to_label={0: "a", 1: "b", 2: "c"},
+                  max_t=20, buckets=(8, 20))
+    p.warmup()
+    misses0 = p._fwd._cache_size()
+    assert misses0 == len(p.buckets)  # one entry per bucket at B=1
+    feats = np.zeros((7, 12), np.float32)
+    roi = np.zeros((7, 48, 96), np.uint8)
+    p.predict_arrays(feats, roi)  # T=7 -> bucket 8: must be cache-hot
+    assert p._fwd._cache_size() == misses0
