@@ -113,11 +113,19 @@ def main():
     # (runtime/pipeline.LivePipeline — apps/live.infer_stream
     # pipeline=threaded); the sequential loop adds them.
     results["pipeline_30fps"] = _pipeline_compare(wparams, rng)
+    # stress: score EVERY frame with a slow (20 ms) landmarker — the
+    # sequential loop's frame handler (landmarker + dispatch) now exceeds
+    # the 33 ms budget, so it loses fps; the threaded pipeline overlaps the
+    # two stages and holds the camera rate (dropping if the engine can't
+    # keep up, which is visible instead of silent lag)
+    results["pipeline_30fps_stress"] = _pipeline_compare(
+        wparams, rng, lm_cost=0.020, pred_every=1)
 
     print(json.dumps(results, default=lambda o: round(float(o), 3)))
 
 
-def _pipeline_compare(wparams, rng, n_frames=240, fps=30.0, lm_cost=0.008):
+def _pipeline_compare(wparams, rng, n_frames=240, fps=30.0, lm_cost=0.008,
+                      pred_every=2):
     from silent_speech_tpu.core.config import StreamConfig
     from silent_speech_tpu.infer.streaming import SlidingWindowEngine
     from silent_speech_tpu.models.variants import gru_word_classifier_forward
@@ -126,7 +134,7 @@ def _pipeline_compare(wparams, rng, n_frames=240, fps=30.0, lm_cost=0.008):
     period = 1.0 / fps
     feats = rng.standard_normal((n_frames, 83)).astype(np.float32)
     wfwd = jax.jit(lambda X: gru_word_classifier_forward(wparams, X))
-    scfg = StreamConfig(max_t=90, pred_every=2, warmup_min=10)
+    scfg = StreamConfig(max_t=90, pred_every=pred_every, warmup_min=10)
 
     def paced_source(t0):
         """30 fps camera + busy-wait landmarker emulation; ts in us."""
