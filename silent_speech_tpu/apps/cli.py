@@ -198,8 +198,16 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
         from .live import infer_live
         infer_live(apply_overrides(InferConfig(), kv), **mp)
     elif cmd == "infer-gated":
+        import dataclasses as _dc
+
         from .live import infer_gated
-        infer_gated(apply_overrides(InferConfig(), kv), **mp)
+        # gating thresholds + pipeline knobs are StreamConfig fields
+        # (live_lower_half.py:143-151 constants); the rest is InferConfig
+        stream_fields = {f.name for f in _dc.fields(StreamConfig)}
+        scfg_kv = [a for a in kv if a.partition("=")[0] in stream_fields]
+        icfg_kv = [a for a in kv if a.partition("=")[0] not in stream_fields]
+        infer_gated(apply_overrides(InferConfig(), icfg_kv),
+                    apply_overrides(StreamConfig(), scfg_kv), **mp)
     elif cmd == "infer-stream":
         import dataclasses as _dc
 

@@ -150,8 +150,19 @@ def infer_live(cfg: InferConfig = InferConfig(),
 def infer_gated(cfg: InferConfig = InferConfig(),
                 stream_cfg: StreamConfig = StreamConfig(),
                 model_path: str = "models/face_landmarker.task"):
+    """Openness-gated auto-clip inference (inactive/live_lower_half.py).
+
+    ``stream_cfg.pipeline='threaded'`` moves capture+landmarker+ROI
+    extraction onto a producer thread feeding the C++ SPSC ring; the gate
+    and the (long) clip predict run on the dispatch thread, so a prediction
+    never stalls the camera (the reference freezes the feed for the whole
+    predict).
+    """
     import cv2
 
+    if stream_cfg.pipeline not in ("sequential", "threaded"):
+        raise ValueError(f"unknown pipeline {stream_cfg.pipeline!r} "
+                         "(expected 'sequential' or 'threaded')")
     predictor = _load_predictor(cfg)
     gate = OpennessGate(stream_cfg)
     lm = FaceLandmarkerSession(model_path, video_mode=True)
@@ -160,45 +171,146 @@ def infer_gated(cfg: InferConfig = InferConfig(),
     except Exception:
         lm.close()
         raise
-    last_top3, hold = None, 0
-    prev_xy = None
-
     try:
-        for frame, ts in cam.frames():
-            face = lm.detect(frame, ts)
-            out = frame.copy()
-            if face is None:
-                # face lost: reset the segmentation state and velocity chain
-                # so one clip can't splice two utterances together
-                # (live_lower_half.py:298-306)
-                gate.reset()
-                prev_xy = None
-            else:
-                h, w = out.shape[:2]
-                feat, xy_n, center, mw = extract_features_frame(
-                    face, w, h, prev_xy)
-                prev_xy = xy_n  # velocity chains as in training clips
-                openness = feat[-1]  # mouth_aspect (normalized openness)
-                roi = (_roi_frame(frame, center, mw, predictor.cfg)
-                       if predictor.cfg.use_roi else None)
-                ev = gate.push(float(openness), feat, roi)
-                state = "SPEAKING" if gate.speaking else "idle"
-                cv2.putText(out, f"open={openness:.3f} [{state}]", (20, 70),
-                            cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 0), 2)
-                if ev is not None and len(ev.frames) > cfg.min_frames:
-                    last_top3 = predictor.predict_arrays(ev.frames, ev.rois, k=3)
-                    hold = stream_cfg.hold_frames
-                    print("Top3:", last_top3)
-            if last_top3 is not None and hold > 0:
-                _overlay_top3(cv2, out, last_top3)
-                hold -= 1
-            cv2.imshow("Gated Infer", out)
-            if cv2.waitKey(1) & 0xFF in (27, ord("q")):
-                break
+        if stream_cfg.pipeline == "threaded":
+            _run_gated_threaded(cv2, cam, lm, predictor, gate, cfg,
+                                stream_cfg)
+        else:
+            _run_gated_sequential(cv2, cam, lm, predictor, gate, cfg,
+                                  stream_cfg)
     finally:
         cam.release()
         lm.close()
         cv2.destroyAllWindows()
+
+
+def _run_gated_sequential(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
+    last_top3, hold = None, 0
+    prev_xy = None
+    for frame, ts in cam.frames():
+        face = lm.detect(frame, ts)
+        out = frame.copy()
+        if face is None:
+            # face lost: reset the segmentation state and velocity chain
+            # so one clip can't splice two utterances together
+            # (live_lower_half.py:298-306)
+            gate.reset()
+            prev_xy = None
+        else:
+            h, w = out.shape[:2]
+            feat, xy_n, center, mw = extract_features_frame(
+                face, w, h, prev_xy)
+            prev_xy = xy_n  # velocity chains as in training clips
+            openness = feat[-1]  # mouth_aspect (normalized openness)
+            roi = (_roi_frame(frame, center, mw, predictor.cfg)
+                   if predictor.cfg.use_roi else None)
+            ev = gate.push(float(openness), feat, roi)
+            state = "SPEAKING" if gate.speaking else "idle"
+            cv2.putText(out, f"open={openness:.3f} [{state}]", (20, 70),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 0), 2)
+            if ev is not None and len(ev.frames) > cfg.min_frames:
+                last_top3 = predictor.predict_arrays(ev.frames, ev.rois, k=3)
+                hold = stream_cfg.hold_frames
+                print("Top3:", last_top3)
+        if last_top3 is not None and hold > 0:
+            _overlay_top3(cv2, out, last_top3)
+            hold -= 1
+        cv2.imshow("Gated Infer", out)
+        if cv2.waitKey(1) & 0xFF in (27, ord("q")):
+            break
+
+
+def _run_gated_threaded(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
+    """Producer (camera/landmarker/ROI) -> FrameRing -> dispatch thread
+    (gate + clip predict); UI stays on the main thread. The payload's first
+    float is a validity flag so face-lost frames travel through the same
+    ring and reset the gate in order with the frames around them."""
+    import threading
+    import time as _time
+
+    from ..runtime.pipeline import FramePacker, LivePipeline
+
+    use_roi = predictor.cfg.use_roi
+    feat_dim = 181  # [valid flag | official 180-D feature]
+    packer = FramePacker(
+        feat_dim=feat_dim,
+        roi_hw=(predictor.cfg.roi_h, predictor.cfg.roi_w) if use_roi else None,
+    )
+    lock = threading.Lock()
+    ui = {"frame": None, "open": 0.0, "speaking": False, "top3": None,
+          "hold": 0}
+    stop = threading.Event()
+    lost = np.zeros(feat_dim, np.float32)
+
+    def source():
+        prev_xy = None
+        for frame, ts in cam.frames():
+            if stop.is_set():
+                break
+            face = lm.detect(frame, ts)
+            with lock:
+                ui["frame"] = frame
+            if face is None:
+                prev_xy = None
+                yield lost, None, ts
+                continue
+            h, w = frame.shape[:2]
+            feat, xy_n, center, mw = extract_features_frame(
+                face, w, h, prev_xy)
+            prev_xy = xy_n
+            roi = (_roi_frame(frame, center, mw, predictor.cfg)
+                   if use_roi else None)
+            with lock:
+                ui["open"] = float(feat[-1])
+            yield np.concatenate([[1.0], feat]).astype(np.float32), roi, ts
+
+    def sink(feat_ext, roi, ts):
+        if feat_ext[0] < 0.5:  # face lost (live_lower_half.py:298-306)
+            gate.reset()
+            with lock:
+                ui["speaking"] = False
+            return
+        feat = feat_ext[1:]
+        ev = gate.push(float(feat[-1]), feat, roi if use_roi else None)
+        with lock:
+            ui["speaking"] = gate.speaking
+        if ev is not None and len(ev.frames) > cfg.min_frames:
+            top3 = predictor.predict_arrays(ev.frames, ev.rois, k=3)
+            with lock:
+                ui["top3"], ui["hold"] = top3, stream_cfg.hold_frames
+            print("Top3:", top3)
+
+    pipe = LivePipeline(source(), sink, packer,
+                        capacity=stream_cfg.ring_capacity)
+    pipe.start()
+    try:
+        while not pipe.drained:
+            with lock:
+                frame = ui["frame"]
+                open_val, speaking = ui["open"], ui["speaking"]
+                top3, hold = ui["top3"], ui["hold"]
+            if frame is not None:
+                out = frame.copy()
+                state = "SPEAKING" if speaking else "idle"
+                cv2.putText(out, f"open={open_val:.3f} [{state}]", (20, 70),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 0), 2)
+                if top3 is not None and hold > 0:
+                    _overlay_top3(cv2, out, top3)
+                    with lock:
+                        ui["hold"] = hold - 1
+                cv2.putText(out, f"drops={pipe.ring.dropped}", (20, 100),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.6, (0, 165, 255), 2)
+                cv2.imshow("Gated Infer", out)
+            if cv2.waitKey(1) & 0xFF in (27, ord("q")):
+                stop.set()
+                pipe.stop()
+                break
+            _time.sleep(0.001)
+    finally:
+        stop.set()
+        stats = pipe.finish(timeout=10)
+        print(f"pipeline: produced={stats['produced']} "
+              f"consumed={stats['consumed']} dropped={stats['dropped']}")
 
 
 class _CausalUniGRUFrontend:

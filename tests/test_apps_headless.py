@@ -176,6 +176,25 @@ def test_infer_gated_auto_clip(tmp_path, predict_spy, capsys):
     assert "Top3:" in capsys.readouterr().out
 
 
+def test_infer_gated_threaded_pipeline(tmp_path, predict_spy, capsys):
+    """pipeline=threaded on the gated app: the same burst segments and
+    predicts through producer -> ring (feat+ROI payloads, face-lost flag) ->
+    dispatch; every frame arrives exactly once."""
+    ckpt = _save_ckpt(tmp_path)
+    n = 50
+    open_seq = [6.0] * 8 + [20.0] * 15 + [6.0] * (n - 23)
+    faces = face_track(n, open_seq=open_seq)
+    faces[30] = None  # face-lost frame travels the ring and resets the gate
+    with sim_session(keys=[], n_frames=n, faces=faces):
+        live.infer_gated(InferConfig(ckpt_path=ckpt),
+                         StreamConfig(pipeline="threaded"))
+    assert len(predict_spy) == 1
+    assert len(predict_spy[0]["feats"]) >= 6
+    out = capsys.readouterr().out
+    assert "Top3:" in out
+    assert f"produced={n} consumed={n} dropped=0" in out
+
+
 def test_infer_stream_sliding_window(tmp_path):
     from silent_speech_tpu.models.variants import init_gru_word_classifier
 
