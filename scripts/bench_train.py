@@ -27,7 +27,8 @@ from silent_speech_tpu.train.step import make_optimizer, smoothed_cross_entropy
 T = 32
 
 
-def bench_train(B: int, dtype, iters: int = 20, roi_impl: str = "xla") -> float:
+def bench_train(B: int, dtype, iters: int = 20, roi_impl: str = "xla",
+                roi_remat: bool = False) -> float:
     mcfg = model.BiGRUConfig(x_dim=180, num_classes=10, use_roi=True)
     params = model.init_params(jax.random.PRNGKey(0), mcfg)
     opt = make_optimizer(3e-4)
@@ -40,7 +41,8 @@ def bench_train(B: int, dtype, iters: int = 20, roi_impl: str = "xla") -> float:
 
     def loss_fn(p, Xb, Lb, Rb, yb, key):
         logits = model.train_forward(p, mcfg, Xb, Lb, Rb, train=True, rng=key,
-                                     compute_dtype=dtype, roi_impl=roi_impl)
+                                     compute_dtype=dtype, roi_impl=roi_impl,
+                                     roi_remat=roi_remat)
         return smoothed_cross_entropy(logits, yb, 10, 0.05)
 
     @partial(jax.jit, static_argnames=("n",))
@@ -70,12 +72,17 @@ def main():
     # (B16 f32: 10.6 vs 3.1 ms; B256 f32: 34.1 vs 32.8; B256 bf16: 22.6 vs
     # 22.3) — the tiled-weight backward does not pay; grouped stays an
     # inference-path option. Pass roi_impl to bench_train() to re-measure.
-    for B, dtype, roi_impl, tag in (
-        (16, jnp.float32, "xla", "B16_f32"),
-        (256, jnp.float32, "xla", "B256_f32"),
-        (256, jnp.bfloat16, "xla", "B256_bf16"),
+    for B, dtype, roi_impl, remat, tag in (
+        (16, jnp.float32, "xla", False, "B16_f32"),
+        (256, jnp.float32, "xla", False, "B256_f32"),
+        (256, jnp.bfloat16, "xla", False, "B256_bf16"),
+        # roi_remat: recompute the ROI-CNN activations in the backward —
+        # the step is activation-HBM-bound (docs/TRAIN_PERF.md)
+        (256, jnp.float32, "xla", True, "B256_f32_remat"),
+        (256, jnp.bfloat16, "xla", True, "B256_bf16_remat"),
+        (16, jnp.float32, "xla", True, "B16_f32_remat"),
     ):
-        dt = bench_train(B, dtype, roi_impl=roi_impl)
+        dt = bench_train(B, dtype, roi_impl=roi_impl, roi_remat=remat)
         out[tag] = {"step_ms": round(dt * 1e3, 3),
                     "clips_per_sec": round(B / dt, 1)}
         print(f"# {tag}: {out[tag]}", flush=True)

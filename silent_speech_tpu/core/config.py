@@ -68,6 +68,10 @@ class TrainConfig:
     # TPU-specific knobs (no reference counterpart)
     compute_dtype: str = "float32"  # "bfloat16" for throughput
     roi_impl: str = "xla"  # 'grouped' = bitwise-identical faster ROI CNN
+    # recompute ROI-CNN activations in the backward instead of storing them
+    # (identical gradients; the step is activation-HBM-bound —
+    # docs/TRAIN_PERF.md has the measurement)
+    roi_remat: bool = False
     mesh_shape: Optional[dict] = None  # e.g. {"data": 4, "model": 2}
     # keep the corpus in host RAM and ship batches per step instead of
     # holding the whole padded dataset in HBM (for corpora larger than HBM)

@@ -189,8 +189,13 @@ def forward(
     roi_impl: str = "xla",
     roi_packed: Optional[dict] = None,
     matmul_precision: PrecisionLike = None,
+    roi_remat: bool = False,
 ) -> jnp.ndarray:
     """X: (B, T, D) f32; lengths: (B,) i32; roi: (B, T, H, W) uint8 or None.
+
+    ``roi_remat`` (training only): jax.checkpoint the ROI embedding so the
+    conv activations are recomputed in the backward instead of stored —
+    bitwise-identical gradients, less activation HBM traffic.
 
     ``gru_impl``: 'scan' (differentiable, default) or 'pallas' (fused
     sequence kernel, inference-only). ``roi_impl``: 'xla' or 'pallas' (fused
@@ -244,17 +249,26 @@ def forward(
                     roi.reshape(B * T, *roi.shape[2:]), roi_packed,
                     standardize=roi_standardize,
                 ).reshape(B, T, -1).astype(compute_dtype)
-            elif roi_impl == "grouped":
-                from ..ops.grouped_cnn import roi_cnn_grouped
-
-                B, T = roi.shape[:2]
-                r = preprocess_roi(roi, roi_standardize).astype(compute_dtype)
-                roi_e = roi_cnn_grouped(
-                    params["roi_cnn"], r.reshape(B * T, *r.shape[2:])
-                ).reshape(B, T, -1).astype(compute_dtype)
             else:
-                r = preprocess_roi(roi, roi_standardize).astype(compute_dtype)
-                roi_e = roi_cnn_forward(params["roi_cnn"], r)
+                def _embed(p_roi, roi_u8):
+                    r = preprocess_roi(roi_u8, roi_standardize)
+                    r = r.astype(compute_dtype)
+                    if roi_impl == "grouped":
+                        from ..ops.grouped_cnn import roi_cnn_grouped
+
+                        B, T = roi_u8.shape[:2]
+                        return roi_cnn_grouped(
+                            p_roi, r.reshape(B * T, *r.shape[2:])
+                        ).reshape(B, T, -1).astype(compute_dtype)
+                    return roi_cnn_forward(p_roi, r)
+
+                if roi_remat and train:
+                    # recompute the ROI-CNN activations in the backward
+                    # instead of storing them: the train step is bound by
+                    # activation HBM traffic, not MXU time
+                    # (docs/TRAIN_PERF.md) — only the uint8 input is saved
+                    _embed = jax.checkpoint(_embed)
+                roi_e = _embed(params["roi_cnn"], roi)
         Z = jnp.concatenate([X, roi_e], axis=-1)
     else:
         Z = X
@@ -317,13 +331,16 @@ def live_forward(params, cfg, X, lengths, roi=None, compute_dtype=jnp.float32,
 
 
 def train_forward(params, cfg, X, lengths, roi=None, *, train=True, rng=None,
-                  compute_dtype=jnp.float32, roi_impl: str = "xla"):
+                  compute_dtype=jnp.float32, roi_impl: str = "xla",
+                  roi_remat: bool = False):
     """The training-path forward (per-frame ROI standardization,
     train_model_official.py:279-310).
 
     ``roi_impl='grouped'`` is valid here too: the grouped conv is bitwise
     identical to the per-frame path (tests/test_grouped_cnn.py) and
-    differentiable (plain XLA grouped convolutions).
+    differentiable (plain XLA grouped convolutions). ``roi_remat``
+    recomputes the ROI-CNN activations in the backward (identical grads,
+    less HBM traffic — measured in docs/TRAIN_PERF.md).
     """
     return forward(
         params,
@@ -336,4 +353,5 @@ def train_forward(params, cfg, X, lengths, roi=None, *, train=True, rng=None,
         rng=rng,
         compute_dtype=compute_dtype,
         roi_impl=roi_impl,
+        roi_remat=roi_remat,
     )

@@ -105,6 +105,7 @@ def train(
         ),
         compute_dtype=cfg.compute_dtype,
         roi_impl=cfg.roi_impl,
+        roi_remat=cfg.roi_remat,
     )
 
     key = jax.random.PRNGKey(cfg.seed)

@@ -45,6 +45,9 @@ class StepConfig:
     # 'xla' or 'grouped' (frames packed into conv channel groups; bitwise
     # identical and differentiable — see ops/grouped_cnn.py)
     roi_impl: str = "xla"
+    # recompute ROI-CNN activations in the backward (identical grads; the
+    # step is activation-HBM-bound — measured in docs/TRAIN_PERF.md)
+    roi_remat: bool = False
 
 
 def _make_loss_fn(scfg: StepConfig, dtype):
@@ -52,6 +55,7 @@ def _make_loss_fn(scfg: StepConfig, dtype):
         logits = model.train_forward(
             params, scfg.model, X, lengths, roi, train=True, rng=rng,
             compute_dtype=dtype, roi_impl=scfg.roi_impl,
+            roi_remat=scfg.roi_remat,
         )
         loss = smoothed_cross_entropy(
             logits, y, scfg.model.num_classes, scfg.label_smoothing

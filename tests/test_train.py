@@ -208,3 +208,29 @@ def test_train_host_data_path(tmp_path):
     r = train(cfg, verbose=False)
     assert len(r["history"]) == 2
     assert (tmp_path / "hm.ckpt").exists()
+
+
+def test_roi_remat_identical_gradients():
+    """roi_remat=True (recompute ROI-CNN activations in the backward) must
+    produce exactly the gradients of the stored-activation path — it is a
+    pure memory/traffic transform (docs/TRAIN_PERF.md)."""
+    mcfg = model.BiGRUConfig(x_dim=16, num_classes=3, use_roi=True, hidden=8,
+                             roi_emb=4, head_hidden=8)
+    params = model.init_params(jax.random.PRNGKey(0), mcfg)
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.standard_normal((4, 10, 16)).astype(np.float32))
+    L = jnp.asarray(np.asarray([10, 6, 8, 5], np.int32))
+    R = jnp.asarray(rng.integers(0, 256, (4, 10, 48, 96), dtype=np.uint8))
+    y = jnp.asarray(np.asarray([0, 1, 2, 1], np.int32))
+    key = jax.random.PRNGKey(7)
+
+    def loss(p, remat):
+        lg = model.train_forward(p, mcfg, X, L, R, train=True, rng=key,
+                                 roi_remat=remat)
+        return smoothed_cross_entropy(lg, y, 3, 0.05)
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-7)
