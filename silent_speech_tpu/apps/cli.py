@@ -32,6 +32,11 @@ infer-ctc, landmarks-view, important-landmarks) accept ``sim=N``: run N frames
 against the headless simulation harness (synthetic face track + scripted
 record-toggle keystrokes) instead of a real camera — works on hosts with no
 cv2/mediapipe/camera.
+
+Env: ``SILENT_SPEECH_DEVICE=cpu`` pins computation to the host CPU backend
+(virtual-mesh emulation with XLA_FLAGS=--xla_force_host_platform_device_count=N,
+e.g. for ``eval-dataset mesh_shape=data:8`` without 8 real chips);
+``SILENT_SPEECH_DEBUG=1`` prints full tracebacks.
 """
 
 from __future__ import annotations
@@ -54,12 +59,47 @@ def _split_kv(args):
     return [a for a in args if "=" in a], [a for a in args if "=" not in a]
 
 
+def _split_stream_kv(kv):
+    """Partition key=value overrides into (StreamConfig fields, the rest) —
+    shared by infer-gated and infer-stream so both commands route the
+    gating/pipeline knobs through the same rule."""
+    import dataclasses as _dc
+
+    stream_fields = {f.name for f in _dc.fields(StreamConfig)}
+    scfg_kv = [a for a in kv if a.partition("=")[0] in stream_fields]
+    rest = [a for a in kv if a.partition("=")[0] not in stream_fields]
+    return scfg_kv, rest
+
+
+def _pin_device_from_env():
+    """Honor ``SILENT_SPEECH_DEVICE=cpu``: pin jax.default_device to the host
+    CPU platform before any computation. This is the CLI's virtual-mesh
+    emulation hook (with XLA_FLAGS=--xla_force_host_platform_device_count=N)
+    — needed because ``JAX_PLATFORMS=cpu`` is ignored when an accelerator
+    backend was pre-registered at interpreter boot (sitecustomize), the one
+    case tests/conftest.py also works around."""
+    import os
+
+    want = os.environ.get("SILENT_SPEECH_DEVICE", "").strip().lower()
+    if not want:
+        return
+    if want != "cpu":
+        raise ValueError(
+            f"SILENT_SPEECH_DEVICE={want!r} is not supported (only 'cpu'; "
+            "unset it to use the default accelerator backend)"
+        )
+    import jax
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return 0
     try:
+        _pin_device_from_env()
         return _dispatch(argv)
     except (AttributeError, ValueError, RuntimeError, FileNotFoundError, IOError) as e:
         import os
@@ -198,23 +238,15 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
         from .live import infer_live
         infer_live(apply_overrides(InferConfig(), kv), **mp)
     elif cmd == "infer-gated":
-        import dataclasses as _dc
-
         from .live import infer_gated
         # gating thresholds + pipeline knobs are StreamConfig fields
         # (live_lower_half.py:143-151 constants); the rest is InferConfig
-        stream_fields = {f.name for f in _dc.fields(StreamConfig)}
-        scfg_kv = [a for a in kv if a.partition("=")[0] in stream_fields]
-        icfg_kv = [a for a in kv if a.partition("=")[0] not in stream_fields]
+        scfg_kv, icfg_kv = _split_stream_kv(kv)
         infer_gated(apply_overrides(InferConfig(), icfg_kv),
                     apply_overrides(StreamConfig(), scfg_kv), **mp)
     elif cmd == "infer-stream":
-        import dataclasses as _dc
-
         from .live import infer_stream
-        stream_fields = {f.name for f in _dc.fields(StreamConfig)}
-        scfg_kv = [a for a in kv if a.partition("=")[0] in stream_fields]
-        other = [a for a in kv if a.partition("=")[0] not in stream_fields]
+        scfg_kv, other = _split_stream_kv(kv)
         extras = _extras(other, "ckpt_path", "cam_index")
         if "ckpt_path" not in extras:
             print("usage: infer-stream ckpt_path=<path> [cam_index=N] "

@@ -220,13 +220,96 @@ def _run_gated_sequential(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
             break
 
 
+def _run_threaded_ui(cv2, pipe, stop, lock, ui, draw, window,
+                     on_new_frame=None):
+    """Shared main-thread UI loop for the threaded pipelines.
+
+    The producer bumps ``ui['seq']`` each time it publishes a frame; the loop
+    redraws ONLY when the sequence advances, so per-frame counters decrement
+    at camera rate, not poll rate, and an unchanged frame is never re-copied
+    and re-annotated at ~500 Hz. ``on_new_frame(ui)`` runs under the lock
+    when a new frame is observed (read-modify-write of shared counters stays
+    atomic w.r.t. the dispatch thread). Exits when the pipeline drains —
+    including a worker death (LivePipeline.drained is True on error, and
+    finish() re-raises it)."""
+    import time as _time
+
+    last_seq = -1
+    try:
+        while not pipe.drained:
+            with lock:
+                seq = ui["seq"]
+                new = seq != last_seq
+                snap = dict(ui)
+                if new and on_new_frame is not None:
+                    on_new_frame(ui)
+            if new and snap["frame"] is not None:
+                last_seq = seq
+                out = snap["frame"].copy()
+                draw(out, snap, pipe.ring.dropped)
+                cv2.imshow(window, out)
+            if cv2.waitKey(1) & 0xFF in (27, ord("q")):
+                stop.set()
+                pipe.stop()
+                break
+            _time.sleep(0.001)
+    finally:
+        stop.set()
+        stats = pipe.finish(timeout=10)
+        print(f"pipeline: produced={stats['produced']} "
+              f"consumed={stats['consumed']} dropped={stats['dropped']}")
+        if stats["hung"]:
+            print(f"WARNING: {'/'.join(stats['hung'])} thread still busy "
+                  "after 10s (likely inside a long device dispatch/compile); "
+                  "its in-flight work is discarded at exit")
+
+
+def _flagged_source(cam, lm, stop, lock, ui, produce, front_lost_fn,
+                    feat_dim, video_ts=False):
+    """Shared producer generator for the threaded pipelines.
+
+    Protocol: every camera frame travels through the ring; the payload's
+    first float is a validity flag (0 = face lost) so causal resets happen
+    on the dispatch thread in order with the frames around them. Producer-side
+    causal state (velocity chain via prev_xy, any feature-frontend state) is
+    reset HERE, on the thread that mutates it — resetting it from the
+    dispatch thread would race the producer's next valid frame.
+
+    ``produce(face, frame, w, h, prev_xy) -> (feat, open_val, prev_xy, roi)``
+    runs the app's per-frame feature path. The frame, its seq bump, and its
+    openness are published under ONE lock acquisition so the UI can never
+    pair a new frame with the previous frame's openness state.
+    """
+    lost = np.zeros(feat_dim, np.float32)
+    prev_xy = None
+    for frame, ts in cam.frames():
+        if stop.is_set():
+            break
+        face = lm.detect(frame, ts) if video_ts else lm.detect(frame)
+        if face is None:
+            prev_xy = None
+            front_lost_fn()
+            with lock:
+                ui["frame"] = frame
+                ui["seq"] += 1
+                ui["open"] = 0.0
+            yield lost, None, ts
+            continue
+        h, w = frame.shape[:2]
+        feat, open_val, prev_xy, roi = produce(face, frame, w, h, prev_xy)
+        with lock:
+            ui["frame"] = frame
+            ui["seq"] += 1
+            ui["open"] = open_val
+        yield np.concatenate([[1.0], feat]).astype(np.float32), roi, ts
+
+
 def _run_gated_threaded(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
     """Producer (camera/landmarker/ROI) -> FrameRing -> dispatch thread
     (gate + clip predict); UI stays on the main thread. The payload's first
     float is a validity flag so face-lost frames travel through the same
     ring and reset the gate in order with the frames around them."""
     import threading
-    import time as _time
 
     from ..runtime.pipeline import FramePacker, LivePipeline
 
@@ -237,32 +320,19 @@ def _run_gated_threaded(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
         roi_hw=(predictor.cfg.roi_h, predictor.cfg.roi_w) if use_roi else None,
     )
     lock = threading.Lock()
-    ui = {"frame": None, "open": 0.0, "speaking": False, "top3": None,
-          "hold": 0}
+    ui = {"frame": None, "seq": 0, "open": 0.0, "speaking": False,
+          "top3": None, "hold": 0}
     stop = threading.Event()
-    lost = np.zeros(feat_dim, np.float32)
 
-    def source():
-        prev_xy = None
-        for frame, ts in cam.frames():
-            if stop.is_set():
-                break
-            face = lm.detect(frame, ts)
-            with lock:
-                ui["frame"] = frame
-            if face is None:
-                prev_xy = None
-                yield lost, None, ts
-                continue
-            h, w = frame.shape[:2]
-            feat, xy_n, center, mw = extract_features_frame(
-                face, w, h, prev_xy)
-            prev_xy = xy_n
-            roi = (_roi_frame(frame, center, mw, predictor.cfg)
-                   if use_roi else None)
-            with lock:
-                ui["open"] = float(feat[-1])
-            yield np.concatenate([[1.0], feat]).astype(np.float32), roi, ts
+    def produce(face, frame, w, h, prev_xy):
+        feat, xy_n, center, mw = extract_features_frame(face, w, h, prev_xy)
+        roi = (_roi_frame(frame, center, mw, predictor.cfg)
+               if use_roi else None)
+        return feat, float(feat[-1]), xy_n, roi
+
+    source = _flagged_source(cam, lm, stop, lock, ui, produce,
+                             front_lost_fn=lambda: None,
+                             feat_dim=feat_dim, video_ts=True)
 
     def sink(feat_ext, roi, ts):
         if feat_ext[0] < 0.5:  # face lost (live_lower_half.py:298-306)
@@ -280,37 +350,25 @@ def _run_gated_threaded(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
                 ui["top3"], ui["hold"] = top3, stream_cfg.hold_frames
             print("Top3:", top3)
 
-    pipe = LivePipeline(source(), sink, packer,
+    def draw(out, snap, dropped):
+        state = "SPEAKING" if snap["speaking"] else "idle"
+        cv2.putText(out, f"open={snap['open']:.3f} [{state}]", (20, 70),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 0), 2)
+        if snap["top3"] is not None and snap["hold"] > 0:
+            _overlay_top3(cv2, out, snap["top3"])
+        cv2.putText(out, f"drops={dropped}", (20, 100),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.6, (0, 165, 255), 2)
+
+    def on_new_frame(u):
+        # per-camera-frame hold countdown, matching _run_gated_sequential
+        if u["top3"] is not None and u["hold"] > 0:
+            u["hold"] -= 1
+
+    pipe = LivePipeline(source, sink, packer,
                         capacity=stream_cfg.ring_capacity)
     pipe.start()
-    try:
-        while not pipe.drained:
-            with lock:
-                frame = ui["frame"]
-                open_val, speaking = ui["open"], ui["speaking"]
-                top3, hold = ui["top3"], ui["hold"]
-            if frame is not None:
-                out = frame.copy()
-                state = "SPEAKING" if speaking else "idle"
-                cv2.putText(out, f"open={open_val:.3f} [{state}]", (20, 70),
-                            cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 0), 2)
-                if top3 is not None and hold > 0:
-                    _overlay_top3(cv2, out, top3)
-                    with lock:
-                        ui["hold"] = hold - 1
-                cv2.putText(out, f"drops={pipe.ring.dropped}", (20, 100),
-                            cv2.FONT_HERSHEY_SIMPLEX, 0.6, (0, 165, 255), 2)
-                cv2.imshow("Gated Infer", out)
-            if cv2.waitKey(1) & 0xFF in (27, ord("q")):
-                stop.set()
-                pipe.stop()
-                break
-            _time.sleep(0.001)
-    finally:
-        stop.set()
-        stats = pipe.finish(timeout=10)
-        print(f"pipeline: produced={stats['produced']} "
-              f"consumed={stats['consumed']} dropped={stats['dropped']}")
+    _run_threaded_ui(cv2, pipe, stop, lock, ui, draw, "Gated Infer",
+                     on_new_frame)
 
 
 class _CausalUniGRUFrontend:
@@ -359,14 +417,26 @@ class _CausalUniGRUFrontend:
 
 
 def _stream_engine(params, meta, ckpt_path: str, stream_cfg: StreamConfig):
-    """Build (frame_fn, push_fn, input_dim) for the selected engine.
+    """Build (frame_fn, push_fn, front_lost_fn, engine_lost_fn, input_dim)
+    for the selected engine.
 
     frame_fn(face, w, h) -> (feat, open_val); push_fn(feat) ->
-    Optional[(label, conf)].
+    Optional[(label, conf)]. The two lost callbacks reset frame-to-frame
+    causal state when the face is lost, split by which thread owns the state
+    in the threaded pipeline (both are idempotent): ``front_lost_fn`` resets
+    frame_fn-side state and MUST run on the thread that calls frame_fn (the
+    producer); ``engine_lost_fn`` resets push_fn-side state and MUST run on
+    the thread that calls push_fn (the dispatcher). The sequential loop
+    calls both from its single thread.
     """
     import jax
 
-    id_to_label = {int(k): v for k, v in meta["id_to_label"].items()}
+    # the uni-GRU family's checkpoint contract names the label map
+    # 'id_to_word' (mirroring the reference .pt schema,
+    # inactive/train_model_1130pm.py save dict); the window family uses
+    # 'id_to_label' — accept both
+    labels = meta.get("id_to_label") or meta.get("id_to_word") or {}
+    id_to_label = {int(k): v for k, v in labels.items()}
 
     if stream_cfg.engine == "carry":
         # unidirectional family only: the GRU carry IS the context
@@ -412,7 +482,21 @@ def _stream_engine(params, meta, ckpt_path: str, stream_cfg: StreamConfig):
             pid = int(p.argmax())
             return id_to_label.get(pid, str(pid)), float(p[pid])
 
-        return frame_fn, push_fn, eng.layers[0]["fwd"]["wi"].shape[0]
+        def front_lost_fn():
+            # face lost: break the delta chain (otherwise the first
+            # post-gap frame emits a seconds-spanning delta spike into the
+            # persistent carry). Runs producer-side — front.prev is written
+            # by frame_fn on that thread. The Welford standardization stats
+            # are long-run calibration and survive the gap.
+            front.prev = None
+
+        def engine_lost_fn():
+            # drop the stale GRU context — the gap ended the utterance.
+            # Runs dispatch-side, in ring order with the frames around it.
+            eng.reset()
+
+        return (frame_fn, push_fn, front_lost_fn, engine_lost_fn,
+                eng.layers[0]["fwd"]["wi"].shape[0])
 
     # sliding-window (83-D GRUWordClassifier family)
     if "input_dim" not in meta and ("x_dim" in meta or "vocab" in meta):
@@ -451,7 +535,13 @@ def _stream_engine(params, meta, ckpt_path: str, stream_cfg: StreamConfig):
         pred, conf, _ = res
         return id_to_label[pred], conf
 
-    return frame_fn, push_fn, input_dim
+    def no_op_lost_fn():
+        # reference behavior (inactive/live_feed.py:179-185): face-less
+        # frames are skipped and the sliding window persists across the gap;
+        # the 83-D features carry no frame-to-frame state to reset
+        pass
+
+    return frame_fn, push_fn, no_op_lost_fn, no_op_lost_fn, input_dim
 
 
 def _stream_overlay(cv2, out, label, conf, open_val, dropped=None):
@@ -488,8 +578,8 @@ def infer_stream(ckpt_path: str, stream_cfg: StreamConfig = StreamConfig(),
                          "(expected 'sequential' or 'threaded')")
 
     params, meta, _ = load_checkpoint(ckpt_path)
-    frame_fn, push_fn, input_dim = _stream_engine(
-        params, meta, ckpt_path, stream_cfg)
+    frame_fn, push_fn, front_lost_fn, engine_lost_fn, input_dim = (
+        _stream_engine(params, meta, ckpt_path, stream_cfg))
 
     lm = FaceLandmarkerSession(model_path, video_mode=False)
     try:
@@ -501,23 +591,32 @@ def infer_stream(ckpt_path: str, stream_cfg: StreamConfig = StreamConfig(),
     try:
         if stream_cfg.pipeline == "threaded":
             _run_stream_threaded(cv2, cam, lm, frame_fn, push_fn,
+                                 front_lost_fn, engine_lost_fn,
                                  input_dim, stream_cfg)
         else:
-            _run_stream_sequential(cv2, cam, lm, frame_fn, push_fn)
+            _run_stream_sequential(cv2, cam, lm, frame_fn, push_fn,
+                                   front_lost_fn, engine_lost_fn)
     finally:
         cam.release()
         lm.close()
         cv2.destroyAllWindows()
 
 
-def _run_stream_sequential(cv2, cam, lm, frame_fn, push_fn):
+def _run_stream_sequential(cv2, cam, lm, frame_fn, push_fn, front_lost_fn,
+                           engine_lost_fn):
     last_label, last_conf = "...", 0.0
     prev_xy = None
     for frame, ts in cam.frames():
         face = lm.detect(frame)
         out = frame
         open_val = 0.0
-        if face is not None:
+        if face is None:
+            # break the velocity/delta chain so post-gap frames can't splice
+            # against seconds-old state (mirrors _run_gated_sequential)
+            prev_xy = None
+            front_lost_fn()
+            engine_lost_fn()
+        else:
             h, w = out.shape[:2]
             feat, open_val, prev_xy = frame_fn(face, w, h, prev_xy)
             res = push_fn(feat)
@@ -529,68 +628,52 @@ def _run_stream_sequential(cv2, cam, lm, frame_fn, push_fn):
             break
 
 
-def _run_stream_threaded(cv2, cam, lm, frame_fn, push_fn, input_dim,
+def _run_stream_threaded(cv2, cam, lm, frame_fn, push_fn, front_lost_fn,
+                         engine_lost_fn, input_dim,
                          stream_cfg: StreamConfig):
     """Producer (camera+landmarker+features) -> FrameRing -> dispatch thread
     (engine push); the main thread keeps the UI. MediaPipe latency overlaps
     device dispatch; ring overflow drops frames (counted and displayed)
     instead of building hidden lag — the upgrade the reference's sequential
-    loop (inactive/live_feed.py:154-227) couldn't express.
+    loop (inactive/live_feed.py:154-227) couldn't express. Like the gated
+    pipeline, the payload's first float is a validity flag so face-lost
+    frames reset the engine's causal state in order on the dispatch thread
+    (_flagged_source resets the producer-owned frontend state on its own
+    thread).
     """
     import threading
-    import time as _time
 
     from ..runtime.pipeline import FramePacker, LivePipeline
 
     lock = threading.Lock()
-    ui = {"frame": None, "label": "...", "conf": 0.0, "open": 0.0}
+    ui = {"frame": None, "seq": 0, "label": "...", "conf": 0.0, "open": 0.0}
     stop = threading.Event()
+    feat_dim = input_dim + 1  # [valid flag | engine feature]
 
-    def source():
-        prev_xy = None
-        for frame, ts in cam.frames():
-            if stop.is_set():
-                break
-            face = lm.detect(frame)
-            with lock:
-                ui["frame"] = frame
-            if face is None:
-                continue
-            h, w = frame.shape[:2]
-            feat, open_val, prev_xy = frame_fn(face, w, h, prev_xy)
-            with lock:
-                ui["open"] = open_val
-            yield feat, None, ts
+    def produce(face, frame, w, h, prev_xy):
+        feat, open_val, prev_xy = frame_fn(face, w, h, prev_xy)
+        return feat, open_val, prev_xy, None
 
-    def sink(feat, roi, ts):
-        res = push_fn(feat)
+    source = _flagged_source(cam, lm, stop, lock, ui, produce, front_lost_fn,
+                             feat_dim=feat_dim)
+
+    def sink(feat_ext, roi, ts):
+        if feat_ext[0] < 0.5:  # face lost
+            engine_lost_fn()
+            return
+        res = push_fn(feat_ext[1:])
         if res is not None:
             with lock:
                 ui["label"], ui["conf"] = res
 
-    pipe = LivePipeline(source(), sink, FramePacker(feat_dim=input_dim),
+    def draw(out, snap, dropped):
+        _stream_overlay(cv2, out, snap["label"], snap["conf"], snap["open"],
+                        dropped=dropped)
+
+    pipe = LivePipeline(source, sink, FramePacker(feat_dim=feat_dim),
                         capacity=stream_cfg.ring_capacity)
     pipe.start()
-    try:
-        while not pipe.drained:
-            with lock:
-                frame = ui["frame"]
-                label, conf, open_val = ui["label"], ui["conf"], ui["open"]
-            if frame is not None:
-                out = frame.copy()
-                _stream_overlay(cv2, out, label, conf, open_val,
-                                dropped=pipe.ring.dropped)
-                cv2.imshow("live", out)
-            if cv2.waitKey(1) & 0xFF == ord("q"):
-                stop.set()
-                pipe.stop()
-                break
-            _time.sleep(0.001)
-    finally:
-        stop.set()
-        stats = pipe.finish(timeout=10)
-        print(f"pipeline: produced={stats['produced']} "
-              f"consumed={stats['consumed']} dropped={stats['dropped']}")
+    _run_threaded_ui(cv2, pipe, stop, lock, ui, draw, "live")
 
 
 def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",

@@ -91,6 +91,11 @@ class CTCDecoder:
         self.len_lambda = len_lambda
         self.len_per_char = len_per_char
         self.chunk_words = int(chunk_words)
+        if self.chunk_words < 0:
+            raise ValueError(
+                f"chunk_words must be >= 0 (0 = one-shot sweep), got "
+                f"{self.chunk_words}"
+            )
         self.trim_kw = dict(open_idx=trim_open_idx, thresh=trim_thresh, pad=trim_pad)
 
         @jax.jit

@@ -227,7 +227,7 @@ def forward(
                 roi_standardize=roi_standardize, train=train, rng=rng,
                 compute_dtype=compute_dtype, gru_impl=gru_impl,
                 roi_impl=roi_impl, roi_packed=roi_packed,
-                matmul_precision=None,
+                matmul_precision=None, roi_remat=roi_remat,
             )
     site_prec: dict = dict(matmul_precision or {})
     unknown = set(site_prec) - {"roi", "gru_wi", "gru_wh", "head"}

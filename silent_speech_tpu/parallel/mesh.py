@@ -37,13 +37,34 @@ def make_mesh(
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def _default_device_is_cpu() -> bool:
+    """True when computation is effectively pinned to the CPU backend —
+    either CPU is the default backend, or jax.default_device is set to a CPU
+    device (the virtual-mesh emulation workflow)."""
+    d = jax.config.jax_default_device
+    if d is None:
+        return jax.default_backend() == "cpu"
+    platform = getattr(d, "platform", d)  # Device object or platform string
+    return str(platform).lower().startswith("cpu")
+
+
 def mesh_from_shape(shape: dict) -> Mesh:
     """Build a ('data','model') mesh from a CLI-style shape dict
     ({'data': 4, 'model': 2}; 'data' omitted = all remaining devices).
 
-    Falls back to the virtual CPU host devices when the default backend has
-    fewer devices than the shape needs (testing / emulation — the standard
-    XLA_FLAGS=--xla_force_host_platform_device_count workflow)."""
+    The mesh is built over the default backend's devices. When that backend
+    has fewer devices than the shape needs, the virtual CPU host devices are
+    used ONLY if the caller has already pinned jax.default_device to CPU
+    (the XLA_FLAGS=--xla_force_host_platform_device_count emulation
+    workflow); otherwise this is a loud error — silently mixing a CPU mesh
+    into a TPU-default process triggers unpinned cross-backend transfers
+    that can hang (CLAUDE.md)."""
+    unknown = set(shape) - {"data", "model"}
+    if unknown:
+        raise ValueError(
+            f"unknown mesh axis {sorted(unknown)} in mesh_shape={shape} "
+            "(allowed: data, model)"
+        )
     model_axis = int(shape.get("model", 1))
     data_axis = shape.get("data")
     if data_axis is not None:
@@ -51,7 +72,20 @@ def mesh_from_shape(shape: dict) -> Mesh:
     need = (data_axis or 1) * model_axis
     devices = jax.devices()
     if len(devices) < need:
-        devices = jax.devices("cpu")
+        cpus = jax.devices("cpu")
+        if _default_device_is_cpu() and len(cpus) >= need:
+            devices = cpus
+        else:
+            raise ValueError(
+                f"mesh_shape={shape} needs {need} devices but the "
+                f"{devices[0].platform} backend has {len(devices)}. To "
+                "emulate a larger mesh on CPU, run with "
+                "SILENT_SPEECH_DEVICE=cpu "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={need} "
+                "(JAX_PLATFORMS=cpu also works UNLESS an accelerator "
+                "backend is pre-registered at interpreter boot; "
+                "programmatically, pin jax.default_device to a CPU device)"
+            )
     return make_mesh(devices, data=data_axis, model=model_axis)
 
 

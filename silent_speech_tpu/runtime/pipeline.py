@@ -82,6 +82,9 @@ class LivePipeline:
         self._stop = threading.Event()
         self._produced = 0
         self._consumed = 0
+        self._error: Optional[BaseException] = None
+        self._tp: Optional[threading.Thread] = None
+        self._tc: Optional[threading.Thread] = None
 
     def _producer(self):
         try:
@@ -130,21 +133,36 @@ class LivePipeline:
 
     @property
     def running(self) -> bool:
+        if self._tp is None:
+            return False
         return self._tp.is_alive() or self._tc.is_alive()
 
     @property
     def drained(self) -> bool:
         """True once the producer has finished AND the ring is empty — the
         UI loop's exit condition (the consumer thread itself only exits via
-        stop()/finish(), so waiting on ``running`` would deadlock)."""
-        return not self._tp.is_alive() and len(self.ring) == 0
+        stop()/finish(), so waiting on ``running`` would deadlock).
+
+        Also True as soon as a worker has died with an error: a dead consumer
+        never empties the ring, so without this a ``while not pipe.drained``
+        UI loop would spin forever hiding the failure (finish() re-raises
+        it)."""
+        if self._error is not None:
+            return True
+        if self._tp is None or self._tp.is_alive():
+            return False
+        return len(self.ring) == 0 or not self._tc.is_alive()
 
     def finish(self, timeout: Optional[float] = None) -> dict:
         """Join both workers and return the run stats (re-raising any worker
-        failure)."""
-        self._tp.join(timeout)
-        self._stop.set()
-        self._tc.join(timeout)
+        failure). A worker that outlives ``timeout`` (e.g. the dispatch
+        thread inside a first-compile device call) is reported in
+        ``stats()['hung']`` rather than silently shaped as a clean drain —
+        the daemon thread dies with the process."""
+        if self._tp is not None:
+            self._tp.join(timeout)
+            self._stop.set()
+            self._tc.join(timeout)
         if self._error is not None:
             raise RuntimeError(
                 f"pipeline worker failed after produced={self._produced} "
@@ -153,10 +171,16 @@ class LivePipeline:
         return self.stats()
 
     def stats(self) -> dict:
+        hung = [
+            name for name, t in (("producer", self._tp),
+                                 ("consumer", self._tc))
+            if t is not None and t.is_alive()
+        ]
         return dict(
             produced=self._produced,
             consumed=self._consumed,
             dropped=self.ring.dropped,
+            hung=hung,
             stages=self.timer.summary(),
         )
 

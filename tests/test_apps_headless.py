@@ -228,9 +228,12 @@ def _save_unigru_ckpt(tmp_path):
 
     params = jax.tree.map(
         np.asarray, init_unigru_classifier(jax.random.PRNGKey(1), 360, 5))
+    # the real train-unigru meta contract: label map key is 'id_to_word'
+    # (train/legacy_loops.py:296-303) — keep this fixture honest so the CLI
+    # round-trip (train-unigru -> infer-stream engine=carry) stays covered
     meta = dict(model="unigru", d_in=360, t_target=32, d_target=180,
                 use_deltas=True, trim=dict(margin=2, q=0.6, min_keep=6),
-                id_to_label={i: w for i, w in enumerate(LABELS[:5])})
+                id_to_word={str(i): w for i, w in enumerate(LABELS[:5])})
     ckpt = str(tmp_path / "u.ckpt")
     save_checkpoint(ckpt, params, meta)
     return ckpt
@@ -268,6 +271,66 @@ def test_infer_stream_carry_threaded(tmp_path, capsys):
         live.infer_stream(ckpt, StreamConfig(engine="carry",
                                              pipeline="threaded"))
     assert f"produced={n} consumed={n} dropped=0" in capsys.readouterr().out
+
+
+def test_infer_stream_threaded_face_loss(tmp_path, capsys):
+    """Face-lost frames travel through the ring as flagged sentinels (never
+    silently skipped), resetting the carry engine in order; the run stays
+    clean across the gaps."""
+    ckpt = _save_unigru_ckpt(tmp_path)
+    n = 24
+    faces = face_track(n)
+    for i in (8, 9, 10, 16):  # two face-lost gaps mid-stream
+        faces[i] = None
+    with sim_session(keys=[], n_frames=n, faces=faces):
+        live.infer_stream(ckpt, StreamConfig(engine="carry",
+                                             pipeline="threaded"))
+    assert f"produced={n} consumed={n} dropped=0" in capsys.readouterr().out
+
+
+def test_flagged_source_resets_frontend_producer_side():
+    """_flagged_source must call front_lost_fn on its own (producer) thread
+    IN ORDER with the produce() calls around the gap — resetting frontend
+    state from the dispatch thread instead would let the first post-gap
+    frame splice a delta against seconds-old state (the bug this split
+    fixes)."""
+    import threading
+
+    events = []
+    frames = [(np.zeros((4, 4, 3), np.uint8), i * 33) for i in range(5)]
+    faces = [object(), object(), None, object(), None]
+
+    class Cam:
+        def frames(self):
+            return iter(frames)
+
+    class Lm:
+        def __init__(self):
+            self.i = -1
+
+        def detect(self, frame):
+            self.i += 1
+            return faces[self.i]
+
+    def produce(face, frame, w, h, prev_xy):
+        events.append(("produce", threading.get_ident()))
+        return np.ones(3, np.float32), 0.5, None, None
+
+    def front_lost():
+        events.append(("lost", threading.get_ident()))
+
+    ui = {"frame": None, "seq": 0, "open": 0.0}
+    out = list(live._flagged_source(
+        Cam(), Lm(), threading.Event(), threading.Lock(), ui, produce,
+        front_lost, feat_dim=4))
+
+    kinds = [k for k, _ in events]
+    assert kinds == ["produce", "produce", "lost", "produce", "lost"]
+    # every callback ran on the consuming (producer) thread
+    assert {t for _, t in events} == {threading.get_ident()}
+    # all 5 frames travel the ring; lost ones carry flag 0, valid ones 1
+    assert [int(p[0][0]) for p in out] == [1, 1, 0, 1, 0]
+    assert ui["seq"] == 5
 
 
 def test_infer_stream_engine_guards(tmp_path):

@@ -148,3 +148,8 @@ def test_ctc_dict_chunked_equals_oneshot(rng):
         assert [w for w, _ in chunked] == [w for w, _ in one]
         np.testing.assert_allclose([s for _, s in chunked],
                                    [s for _, s in one], rtol=1e-5, atol=1e-5)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="chunk_words"):
+        CTCDecoder(params, d, max_t=24, chunk_words=-1)

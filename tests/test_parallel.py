@@ -156,3 +156,50 @@ def test_train_loop_with_mesh(tmp_path, cpu_mesh_devices):
         ), verbose=False)
     assert len(r["history"]) == 2
     assert all(np.isfinite(h["train_loss"]) for h in r["history"])
+
+
+def test_mesh_from_shape_rejects_oversized_on_accelerator(monkeypatch):
+    """An oversized mesh_shape must fail loudly (with the emulation recipe)
+    rather than silently building a CPU mesh in an accelerator-default
+    process — that fallback is reserved for callers that pinned
+    jax.default_device to CPU first."""
+    import pytest
+
+    from silent_speech_tpu.parallel import mesh as M
+
+    monkeypatch.setattr(M, "_default_device_is_cpu", lambda: False)
+    with pytest.raises(ValueError, match="emulate a larger mesh"):
+        M.mesh_from_shape({"data": 1024})
+
+
+def test_mesh_from_shape_rejects_unknown_axis():
+    """A typoed axis name (mesh_shape=dta:8) must error, not silently build
+    a different mesh than the user asked for."""
+    import pytest
+
+    from silent_speech_tpu.parallel import mesh as M
+
+    with pytest.raises(ValueError, match="unknown mesh axis"):
+        M.mesh_from_shape({"dta": 8})
+
+
+def test_cli_device_pin_env(monkeypatch):
+    """SILENT_SPEECH_DEVICE=cpu pins jax.default_device to the host CPU
+    platform (the CLI's virtual-mesh emulation hook for environments where a
+    pre-registered accelerator backend ignores JAX_PLATFORMS); unknown
+    values fail loudly."""
+    import jax
+    import pytest
+
+    from silent_speech_tpu.apps.cli import _pin_device_from_env
+
+    saved = jax.config.jax_default_device
+    try:
+        monkeypatch.setenv("SILENT_SPEECH_DEVICE", "cpu")
+        _pin_device_from_env()
+        assert jax.config.jax_default_device.platform == "cpu"
+        monkeypatch.setenv("SILENT_SPEECH_DEVICE", "gpu")
+        with pytest.raises(ValueError, match="SILENT_SPEECH_DEVICE"):
+            _pin_device_from_env()
+    finally:
+        jax.config.update("jax_default_device", saved)

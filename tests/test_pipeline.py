@@ -66,3 +66,64 @@ def test_pipeline_streams_through_engine(rng):
     # timestamps preserved through the ring
     assert all(ts % 33 == 0 for ts, _, _ in preds)
     assert "sink" in stats["stages"] and stats["stages"]["sink"]["n"] > 0
+
+
+def test_pipeline_drains_on_worker_death(rng):
+    """A sink that dies mid-run must flip ``drained`` (the apps' UI-loop exit
+    condition) even though items remain in the ring — otherwise a headless
+    run spins forever hiding the error — and finish() re-raises it."""
+    import time
+
+    import pytest
+
+    def sink(feat, roi, ts):
+        raise RuntimeError("predictor exploded")
+
+    def source():
+        for i in range(50):
+            yield rng.standard_normal(8).astype(np.float32), None, i
+
+    pipe = LivePipeline(source(), sink, FramePacker(feat_dim=8), capacity=16)
+    pipe.start()
+    deadline = time.monotonic() + 10
+    while not pipe.drained:
+        assert time.monotonic() < deadline, "drained never became True"
+        time.sleep(0.001)
+    with pytest.raises(RuntimeError, match="pipeline worker failed"):
+        pipe.finish(timeout=10)
+
+
+def test_pipeline_state_before_start(rng):
+    """A constructed-but-not-started pipeline answers state queries sanely
+    instead of raising AttributeError."""
+    pipe = LivePipeline(iter(()), lambda f, r, t: None,
+                        FramePacker(feat_dim=4))
+    assert pipe.running is False
+    assert pipe.drained is False
+    assert pipe.stats()["hung"] == []
+    assert pipe.finish(timeout=0)["produced"] == 0
+
+
+def test_pipeline_finish_reports_hung_worker(rng):
+    """finish(timeout) must not shape a still-running worker as a clean
+    drain: the stats carry the hung worker's name (e.g. a dispatch thread
+    stuck inside a first device compile when the user quits)."""
+    import threading
+
+    release = threading.Event()
+
+    def sink(feat, roi, ts):
+        release.wait(20)  # simulates a long device dispatch
+
+    def source():
+        yield rng.standard_normal(4).astype(np.float32), None, 0
+
+    pipe = LivePipeline(source(), sink, FramePacker(feat_dim=4), capacity=4)
+    pipe.start()
+    try:
+        pipe.stop()
+        stats = pipe.finish(timeout=0.2)
+        assert stats["hung"] == ["consumer"]
+        assert stats["produced"] == 1
+    finally:
+        release.set()  # let the daemon thread exit promptly

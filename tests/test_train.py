@@ -234,3 +234,26 @@ def test_roi_remat_identical_gradients():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-7)
+
+
+def test_roi_remat_survives_string_precision():
+    """A global string matmul_precision re-enters forward() through the
+    default_matmul_precision scope; that recursion must carry roi_remat with
+    it (it used to drop the knob silently, storing the ROI activations the
+    caller asked to recompute)."""
+    mcfg = model.BiGRUConfig(x_dim=16, num_classes=3, use_roi=True, hidden=8,
+                             roi_emb=4, head_hidden=8)
+    params = model.init_params(jax.random.PRNGKey(0), mcfg)
+    rng = np.random.default_rng(4)
+    X = jnp.asarray(rng.standard_normal((2, 8, 16)).astype(np.float32))
+    L = jnp.asarray(np.asarray([8, 6], np.int32))
+    R = jnp.asarray(rng.integers(0, 256, (2, 8, 48, 96), dtype=np.uint8))
+
+    def loss(p):
+        lg = model.forward(p, mcfg, X, L, R, roi_standardize=True, train=True,
+                           rng=jax.random.PRNGKey(1),
+                           matmul_precision="highest", roi_remat=True)
+        return lg.sum()
+
+    jaxpr = str(jax.make_jaxpr(jax.grad(loss))(params))
+    assert "remat" in jaxpr, "roi_remat was dropped by the precision recursion"
