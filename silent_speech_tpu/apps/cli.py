@@ -52,6 +52,7 @@ from ..core.config import (
     StreamConfig,
     TrainConfig,
     apply_overrides,
+    parse_bool as _parse_bool,
 )
 
 
@@ -296,14 +297,18 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
             ema_alpha=float(extras.get("ema_alpha", 0.3)), **mp)
     elif cmd == "infer-ctc":
         from .live import infer_ctc
-        extras = _extras(kv, "ckpt_path", "cam_index", "chunk_words")
+        extras = _extras(kv, "ckpt_path", "cam_index", "chunk_words",
+                         "predict_async")
         if "ckpt_path" not in extras:
             print("usage: infer-ctc ckpt_path=<path> [cam_index=N] "
-                  "[chunk_words=N]")
+                  "[chunk_words=N] [predict_async=true]")
             return 2
         infer_ctc(extras["ckpt_path"],
                   cam_index=int(extras.get("cam_index", 0)),
-                  chunk_words=int(extras.get("chunk_words", 0)), **mp)
+                  chunk_words=int(extras.get("chunk_words", 0)),
+                  predict_async=_parse_bool(
+                      "predict_async", extras.get("predict_async", "false")),
+                  **mp)
     elif cmd == "export-torch":
         extras = _extras(kv, "ckpt_path", "out_path")
         if "ckpt_path" not in extras or "out_path" not in extras:

@@ -65,6 +65,82 @@ def _load_predictor(cfg: InferConfig):
     return pred
 
 
+class _AsyncClipPredictor:
+    """Single-flight async clip prediction for the manual-toggle apps.
+
+    The capture/UI loop keeps running while the (possibly
+    first-compile-slow) device dispatch happens on a daemon worker thread —
+    the reference freezes the camera feed for the whole predict
+    (live_infer_official.py:338-359). The newest submission supersedes any
+    unread older result, matching the apps' result-resets-on-new-recording
+    semantics; worker errors re-raise on the UI thread at poll()/drain().
+    Daemon threads (not a ThreadPoolExecutor) so the exit policy stays in
+    the app's hands rather than an unconditional executor atexit join —
+    but see drain(): an in-flight device dispatch must be waited out, never
+    abandoned to interpreter teardown.
+    """
+
+    def __init__(self, fn):
+        import threading
+
+        self._fn = fn
+        self._lk = threading.Lock()
+        self._gen = 0       # submissions issued
+        self._done_gen = 0  # newest submission finished
+        self._res = None
+        self._err: Optional[BaseException] = None
+
+    def submit(self, *args):
+        import threading
+
+        with self._lk:
+            self._gen += 1
+            gen = self._gen
+        threading.Thread(target=self._run, args=(gen, args),
+                         daemon=True).start()
+
+    def _run(self, gen, args):
+        try:
+            val = self._fn(*args)
+            with self._lk:
+                if gen > self._done_gen:
+                    self._done_gen, self._res, self._err = gen, val, None
+        except BaseException as e:
+            with self._lk:
+                if gen > self._done_gen:
+                    self._done_gen, self._res, self._err = gen, None, e
+
+    @property
+    def pending(self) -> bool:
+        with self._lk:
+            return self._done_gen < self._gen
+
+    def poll(self):
+        """Newest finished result (once), or None; re-raises worker errors."""
+        with self._lk:
+            if self._err is not None:
+                err, self._err = self._err, None
+                raise err
+            res, self._res = self._res, None
+            return res
+
+    def drain(self, timeout: Optional[float] = 10.0):
+        """Wait at app exit: the last result, or None if nothing lands within
+        ``timeout`` (None = wait forever). NOTE: an in-flight device dispatch
+        must NOT be abandoned by exiting the interpreter — PJRT client
+        teardown with a live dispatch aborts the process (measured on the
+        TPU relay: 'FATAL: exception not rethrown' + SIGABRT) — so callers
+        that time out must either keep polling or block with timeout=None
+        before returning."""
+        import time
+
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while self.pending and (deadline is None
+                                or time.monotonic() < deadline):
+            time.sleep(0.01)
+        return self.poll()
+
+
 def infer_live(cfg: InferConfig = InferConfig(),
                model_path: str = "models/face_landmarker.task"):
     import cv2
@@ -85,11 +161,23 @@ def infer_live(cfg: InferConfig = InferConfig(),
     prev_xy = None
     last_top3 = None
     last_pred = None
+    ap = (_AsyncClipPredictor(
+        lambda X, R: predictor.predict_arrays(X, R, k=cfg.topk))
+        if cfg.predict_async else None)
 
     try:
         for frame, ts in cam.frames():
             face = lm.detect(frame, ts)
             out = frame.copy()
+            if ap is not None:
+                res = ap.poll()
+                if res is not None:
+                    last_top3 = res
+                    print("Top3:", last_top3)
+                elif ap.pending:
+                    cv2.putText(out, "Predicting...", (20, 260),
+                                cv2.FONT_HERSHEY_SIMPLEX, 0.8,
+                                (0, 200, 255), 2)
             if face is not None:
                 h, w = out.shape[:2]
                 feat, xy_n, center, mw = extract_features_frame(face, w, h, prev_xy)
@@ -138,10 +226,27 @@ def infer_live(cfg: InferConfig = InferConfig(),
                         print("Too short.")
                         continue
                     roi = np.stack(bufR) if bufR else None
-                    last_top3 = predictor.predict_arrays(
-                        np.stack(bufX), roi, k=cfg.topk)
-                    print("Top3:", last_top3)
+                    if ap is not None:
+                        ap.submit(np.stack(bufX), roi)
+                    else:
+                        last_top3 = predictor.predict_arrays(
+                            np.stack(bufX), roi, k=cfg.topk)
+                        print("Top3:", last_top3)
     finally:
+        if ap is not None:
+            try:
+                res = ap.drain(timeout=10)
+                if res is None and ap.pending:
+                    # exiting with a live device dispatch SIGABRTs the
+                    # process (PJRT teardown) — block until it lands
+                    print("waiting for the in-flight prediction (a first "
+                          "compile can take minutes; Ctrl-C force-quits)...")
+                    res = ap.drain(timeout=None)
+                if res is not None:
+                    print("Top3:", res)
+            except Exception as e:
+                # never mask the original exit path during cleanup
+                print(f"prediction failed: {e}")
         cam.release()
         lm.close()
         cv2.destroyAllWindows()
@@ -256,12 +361,15 @@ def _run_threaded_ui(cv2, pipe, stop, lock, ui, draw, window,
     finally:
         stop.set()
         stats = pipe.finish(timeout=10)
+        if stats["hung"]:
+            # exiting with a live device dispatch SIGABRTs the process
+            # (PJRT teardown) — block until the worker lands
+            print(f"waiting for the {'/'.join(stats['hung'])} thread "
+                  "(a device dispatch/compile can take minutes; Ctrl-C "
+                  "force-quits)...")
+            stats = pipe.finish(timeout=None)
         print(f"pipeline: produced={stats['produced']} "
               f"consumed={stats['consumed']} dropped={stats['dropped']}")
-        if stats["hung"]:
-            print(f"WARNING: {'/'.join(stats['hung'])} thread still busy "
-                  "after 10s (likely inside a long device dispatch/compile); "
-                  "its in-flight work is discarded at exit")
 
 
 def _flagged_source(cam, lm, stop, lock, ui, produce, front_lost_fn,
@@ -677,10 +785,13 @@ def _run_stream_threaded(cv2, cam, lm, frame_fn, push_fn, front_lost_fn,
 
 
 def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",
-              cam_index: int = 0, chunk_words: int = 0):
+              cam_index: int = 0, chunk_words: int = 0,
+              predict_async: bool = False):
     """CTC dictionary-scored live inference
     (inactive/facial_landmark_detection.py semantics): manual-toggle clips,
-    silence-trimmed, every dictionary word scored in one vmapped sweep."""
+    silence-trimmed, every dictionary word scored in one vmapped sweep.
+    ``predict_async`` keeps the camera live during the (first-compile-slow)
+    dictionary sweep instead of freezing like the reference."""
     import cv2
     import jax
 
@@ -705,10 +816,20 @@ def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",
         raise
     recording, bufX, bufR, prev_xy = False, [], [], None
     last = None
+    ap = (_AsyncClipPredictor(dec.score_clip) if predict_async else None)
     try:
         for frame, ts in cam.frames():
             face = lm.detect(frame, ts)
             out = frame.copy()
+            if ap is not None:
+                res = ap.poll()
+                if res is not None:
+                    last = res
+                    print("ranked:", last[:5])
+                elif ap.pending:
+                    cv2.putText(out, "Scoring...", (20, 260),
+                                cv2.FONT_HERSHEY_SIMPLEX, 0.8,
+                                (0, 200, 255), 2)
             if face is not None and recording:
                 h, w = out.shape[:2]
                 feat, xy_n, center, mw = extract_features_frame(face, w, h, prev_xy)
@@ -731,9 +852,24 @@ def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",
                 if recording:
                     bufX, bufR, prev_xy, last = [], [], None, None
                 elif len(bufX) >= 5:
-                    last = dec.score_clip(np.stack(bufX), np.stack(bufR))
-                    print("ranked:", last[:5])
+                    if ap is not None:
+                        ap.submit(np.stack(bufX), np.stack(bufR))
+                    else:
+                        last = dec.score_clip(np.stack(bufX), np.stack(bufR))
+                        print("ranked:", last[:5])
     finally:
+        if ap is not None:
+            try:
+                res = ap.drain(timeout=10)
+                if res is None and ap.pending:
+                    print("waiting for the in-flight dictionary sweep (a "
+                          "first compile can take minutes; Ctrl-C "
+                          "force-quits)...")
+                    res = ap.drain(timeout=None)
+                if res is not None:
+                    print("ranked:", res[:5])
+            except Exception as e:
+                print(f"scoring failed: {e}")
         cam.release()
         lm.close()
         cv2.destroyAllWindows()

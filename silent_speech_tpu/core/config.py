@@ -107,6 +107,11 @@ class InferConfig:
     # cost mid-session (Predictor.warmup; docs/PRECISION.md has measured
     # first-compile times)
     warmup: bool = False
+    # run the clip predict on a worker thread so the camera/UI loop never
+    # freezes on device dispatch (the reference blocks the feed for the
+    # whole predict — live_infer_official.py:338-359; a first compile over
+    # a relay can take minutes). False = the reference's blocking semantics.
+    predict_async: bool = False
 
 
 @dataclasses.dataclass
@@ -185,6 +190,18 @@ class EvalConfig:
     mesh_shape: Optional[dict] = None
 
 
+def parse_bool(key: str, raw: str) -> bool:
+    """Strict CLI boolean: a typo ('ture') must not silently become False."""
+    low = str(raw).lower()
+    if low in ("1", "true", "yes", "on"):
+        return True
+    if low in ("0", "false", "no", "off"):
+        return False
+    raise ValueError(
+        f"{key}={raw!r} is not a boolean (use true/false, 1/0, yes/no, on/off)"
+    )
+
+
 def serving_kwargs(cfg) -> dict:
     """Predictor serving kwargs from an Infer/EvalConfig.
 
@@ -243,17 +260,7 @@ def apply_overrides(cfg, overrides: Sequence[str]):
         if key in dict_fields or isinstance(cur, dict):
             val = _parse_dict_override(raw)
         elif isinstance(cur, bool):
-            low = raw.lower()
-            if low in ("1", "true", "yes", "on"):
-                val = True
-            elif low in ("0", "false", "no", "off"):
-                val = False
-            else:
-                # a typo ('ture') must not silently become False
-                raise ValueError(
-                    f"{key}={raw!r} is not a boolean "
-                    f"(use true/false, 1/0, yes/no, on/off)"
-                )
+            val = parse_bool(key, raw)
         elif isinstance(cur, int):
             val = int(raw)
         elif isinstance(cur, float):

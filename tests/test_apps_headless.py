@@ -109,6 +109,54 @@ def test_infer_live_serving_knobs(tmp_path, predict_spy, capsys):
     assert "Top3:" in capsys.readouterr().out
 
 
+def test_infer_live_predict_async(tmp_path, predict_spy, capsys):
+    """predict_async=true: the clip predict runs off-thread (camera keeps
+    rolling, the reference freezes) and the result is published — during the
+    run or by the exit drain."""
+    ckpt = _save_ckpt(tmp_path)
+    n = 40
+    with sim_session(keys=_keys(n, r=(2, 20)), n_frames=n,
+                     faces=face_track(n)) as (cv2f, cam, lm):
+        live.infer_live(InferConfig(ckpt_path=ckpt, predict_async=True))
+    assert len(predict_spy) == 1
+    assert "Top3:" in capsys.readouterr().out
+    assert cam.released and lm.closed and cv2f.destroyed
+
+
+def test_async_clip_predictor_semantics():
+    """_AsyncClipPredictor: newest submission supersedes an unread older
+    result; worker errors re-raise on poll; drain returns the last result."""
+    import threading
+
+    gate1 = threading.Event()
+
+    def slow_then_fast(tag):
+        if tag == "a":
+            gate1.wait(10)
+        return tag
+
+    ap = live._AsyncClipPredictor(slow_then_fast)
+    ap.submit("a")          # blocks on gate1
+    ap.submit("b")          # finishes first
+    deadline = __import__("time").monotonic() + 10
+    while ap.poll() != "b":
+        assert __import__("time").monotonic() < deadline
+    gate1.set()             # 'a' (gen 1) finishes late; must NOT supersede
+    res = ap.drain(timeout=10)
+    assert res is None and not ap.pending
+
+    def boom():
+        raise RuntimeError("predict exploded")
+
+    ap2 = live._AsyncClipPredictor(boom)
+    ap2.submit()
+    with pytest.raises(RuntimeError, match="predict exploded"):
+        deadline = __import__("time").monotonic() + 10
+        while True:
+            ap2.poll()
+            assert __import__("time").monotonic() < deadline
+
+
 def test_infer_live_too_short_clip_rejected(tmp_path, predict_spy, capsys):
     ckpt = _save_ckpt(tmp_path)
     n = 16
@@ -358,6 +406,13 @@ def test_infer_ctc_loop(tmp_path, capsys):
     with sim_session(keys=_keys(n, r=(2, 20)), n_frames=n,
                      faces=face_track(n)):
         live.infer_ctc(ckpt)
+    assert "ranked:" in capsys.readouterr().out
+
+    # async scoring: camera keeps rolling during the dictionary sweep; the
+    # result lands during the run or via the exit drain
+    with sim_session(keys=_keys(n, r=(2, 20)), n_frames=n,
+                     faces=face_track(n)):
+        live.infer_ctc(ckpt, predict_async=True)
     assert "ranked:" in capsys.readouterr().out
 
 
