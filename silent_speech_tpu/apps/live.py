@@ -89,6 +89,7 @@ class _AsyncClipPredictor:
         self._done_gen = 0  # newest submission finished
         self._res = None
         self._err: Optional[BaseException] = None
+        self._threads: list = []
 
     def submit(self, *args):
         import threading
@@ -96,8 +97,9 @@ class _AsyncClipPredictor:
         with self._lk:
             self._gen += 1
             gen = self._gen
-        threading.Thread(target=self._run, args=(gen, args),
-                         daemon=True).start()
+        t = threading.Thread(target=self._run, args=(gen, args), daemon=True)
+        self._threads = [x for x in self._threads if x.is_alive()] + [t]
+        t.start()
 
     def _run(self, gen, args):
         try:
@@ -112,8 +114,25 @@ class _AsyncClipPredictor:
 
     @property
     def pending(self) -> bool:
+        """The newest submission has not produced a result yet."""
         with self._lk:
             return self._done_gen < self._gen
+
+    @property
+    def busy(self) -> bool:
+        """Any worker thread still running — including a SUPERSEDED one whose
+        result will be discarded but whose device dispatch is still live
+        (pending can be False while busy is True)."""
+        self._threads = [t for t in self._threads if t.is_alive()]
+        return bool(self._threads)
+
+    def join(self):
+        """Block until every worker thread has landed. MUST be called before
+        the app returns: exiting the interpreter with a live device dispatch
+        aborts the process (see drain)."""
+        for t in list(self._threads):
+            t.join()
+        self._threads = []
 
     def poll(self):
         """Newest finished result (once), or None; re-raises worker errors."""
@@ -135,8 +154,8 @@ class _AsyncClipPredictor:
         import time
 
         deadline = None if timeout is None else time.monotonic() + timeout
-        while self.pending and (deadline is None
-                                or time.monotonic() < deadline):
+        while self.busy and (deadline is None
+                             or time.monotonic() < deadline):
             time.sleep(0.01)
         return self.poll()
 
@@ -236,7 +255,7 @@ def infer_live(cfg: InferConfig = InferConfig(),
         if ap is not None:
             try:
                 res = ap.drain(timeout=10)
-                if res is None and ap.pending:
+                if res is None and ap.busy:
                     # exiting with a live device dispatch SIGABRTs the
                     # process (PJRT teardown) — block until it lands
                     print("waiting for the in-flight prediction (a first "
@@ -247,6 +266,8 @@ def infer_live(cfg: InferConfig = InferConfig(),
             except Exception as e:
                 # never mask the original exit path during cleanup
                 print(f"prediction failed: {e}")
+            finally:
+                ap.join()  # unconditional: no live dispatch may outlive us
         cam.release()
         lm.close()
         cv2.destroyAllWindows()
@@ -861,7 +882,7 @@ def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",
         if ap is not None:
             try:
                 res = ap.drain(timeout=10)
-                if res is None and ap.pending:
+                if res is None and ap.busy:
                     print("waiting for the in-flight dictionary sweep (a "
                           "first compile can take minutes; Ctrl-C "
                           "force-quits)...")
@@ -870,6 +891,8 @@ def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",
                     print("ranked:", res[:5])
             except Exception as e:
                 print(f"scoring failed: {e}")
+            finally:
+                ap.join()  # unconditional: no live dispatch may outlive us
         cam.release()
         lm.close()
         cv2.destroyAllWindows()

@@ -163,6 +163,14 @@ class LivePipeline:
             self._tp.join(timeout)
             self._stop.set()
             self._tc.join(timeout)
+            if self._error is not None:
+                # about to raise: the SURVIVING worker may still hold a live
+                # device dispatch, and exiting the interpreter with one
+                # aborts the process (PJRT teardown) — land it first.
+                # Bounded: _stop is set, so each worker exits after its
+                # in-flight item.
+                self._tp.join()
+                self._tc.join()
         if self._error is not None:
             raise RuntimeError(
                 f"pipeline worker failed after produced={self._produced} "

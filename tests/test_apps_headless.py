@@ -141,9 +141,14 @@ def test_async_clip_predictor_semantics():
     deadline = __import__("time").monotonic() + 10
     while ap.poll() != "b":
         assert __import__("time").monotonic() < deadline
+    # the exit-safety hazard window: the newest result landed (not pending)
+    # but the superseded submission's thread still holds its dispatch (busy)
+    assert not ap.pending and ap.busy
     gate1.set()             # 'a' (gen 1) finishes late; must NOT supersede
     res = ap.drain(timeout=10)
     assert res is None and not ap.pending
+    ap.join()
+    assert not ap.busy
 
     def boom():
         raise RuntimeError("predict exploded")
