@@ -248,6 +248,35 @@ def test_infer_gated_threaded_pipeline(tmp_path, predict_spy, capsys):
     assert f"produced={n} consumed={n} dropped=0" in out
 
 
+def test_threaded_gated_bitwise_equals_sequential(tmp_path, predict_spy):
+    """The threaded gated pipeline segments the SAME clips with the SAME
+    feature/ROI payloads as the sequential loop — gate state is driven in
+    ring FIFO order, and the packer round-trips feat f32 / ROI u8 exactly."""
+    ckpt = _save_ckpt(tmp_path)
+    n = 60
+    open_seq = ([6.0] * 8 + [20.0] * 15 + [6.0] * 10 + [20.0] * 12
+                + [6.0] * (n - 45))
+    faces = face_track(n, open_seq=open_seq)
+    # face loss in the idle gap AFTER burst 1's end_n countdown (clip closes
+    # at frame 26 = burst end 22 + end_n 4) — a loss inside the countdown
+    # would discard the clip via gate.reset in both modes
+    faces[30] = None
+
+    def run(pipeline):
+        predict_spy.clear()
+        with sim_session(keys=[], n_frames=n, faces=faces):
+            live.infer_gated(InferConfig(ckpt_path=ckpt),
+                             StreamConfig(pipeline=pipeline))
+        return [(c["feats"], c["roi"]) for c in predict_spy]
+
+    seq = run("sequential")
+    thr = run("threaded")
+    assert len(seq) == len(thr) == 2  # both bursts segmented in both modes
+    for (fa, ra), (fb, rb) in zip(seq, thr):
+        np.testing.assert_array_equal(fa, fb)
+        np.testing.assert_array_equal(ra, rb)
+
+
 def test_infer_stream_sliding_window(tmp_path):
     from silent_speech_tpu.models.variants import init_gru_word_classifier
 
@@ -384,6 +413,74 @@ def test_flagged_source_resets_frontend_producer_side():
     # all 5 frames travel the ring; lost ones carry flag 0, valid ones 1
     assert [int(p[0][0]) for p in out] == [1, 1, 0, 1, 0]
     assert ui["seq"] == 5
+
+
+def test_threaded_carry_stream_bitwise_equals_sequential(tmp_path,
+                                                         monkeypatch):
+    """pipeline=threaded must preserve the sequential loop's semantics
+    EXACTLY: same engine pushes in the same order with bitwise-identical
+    logits — including across face-loss gaps, where the causal resets are
+    split across two threads (the ring's FIFO order is the proof)."""
+    import silent_speech_tpu.infer.streaming as S
+
+    ckpt = _save_unigru_ckpt(tmp_path)
+    records = []
+    orig = S.CarryStreamingGRU.push
+
+    def spy(self, feat):
+        out = orig(self, feat)
+        records.append(np.asarray(out).copy())
+        return out
+
+    monkeypatch.setattr(S.CarryStreamingGRU, "push", spy)
+
+    def run(pipeline):
+        n = 24
+        faces = face_track(n)
+        for i in (8, 9, 16):
+            faces[i] = None
+        records.clear()
+        with sim_session(keys=[], n_frames=n, faces=faces):
+            live.infer_stream(ckpt, StreamConfig(engine="carry",
+                                                 pipeline=pipeline))
+        return list(records)
+
+    seq = run("sequential")
+    thr = run("threaded")
+    assert len(seq) == len(thr) and len(seq) == 24 - 3
+    for a, b in zip(seq, thr):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_threaded_window_stream_equals_sequential(tmp_path, monkeypatch):
+    """Same equivalence for the sliding-window family: identical
+    (pred, conf) event sequence through the ring as through the
+    single-thread loop."""
+    import silent_speech_tpu.infer.streaming as S
+
+    ckpt = _save_window_ckpt(tmp_path)
+    events = []
+    orig = S.SlidingWindowEngine.push
+
+    def spy(self, feat):
+        out = orig(self, feat)
+        if out is not None:
+            events.append((out[0], float(out[1])))
+        return out
+
+    monkeypatch.setattr(S.SlidingWindowEngine, "push", spy)
+
+    def run(pipeline):
+        n = 30
+        events.clear()
+        with sim_session(keys=[], n_frames=n, faces=face_track(n)):
+            live.infer_stream(ckpt, StreamConfig(max_t=20, warmup_min=4,
+                                                 pipeline=pipeline))
+        return list(events)
+
+    seq = run("sequential")
+    thr = run("threaded")
+    assert seq and seq == thr
 
 
 def test_infer_stream_engine_guards(tmp_path):
