@@ -88,7 +88,7 @@ class _AsyncClipPredictor:
         self._gen = 0       # submissions issued
         self._done_gen = 0  # newest submission finished
         self._res = None
-        self._err: Optional[BaseException] = None
+        self._err: Optional[Exception] = None
         self._threads: list = []
 
     def submit(self, *args):
@@ -102,15 +102,28 @@ class _AsyncClipPredictor:
         t.start()
 
     def _run(self, gen, args):
+        # Exception only: a BaseException in the worker (SystemExit-class
+        # library aborts) must not re-raise on the UI thread through
+        # poll() — the apps' cleanup handlers catch Exception
         try:
             val = self._fn(*args)
             with self._lk:
                 if gen > self._done_gen:
                     self._done_gen, self._res, self._err = gen, val, None
-        except BaseException as e:
+        except Exception as e:
             with self._lk:
                 if gen > self._done_gen:
                     self._done_gen, self._res, self._err = gen, None, e
+
+    def invalidate(self):
+        """Discard any in-flight or unread result — called when a NEW
+        recording starts, so a stale prediction from the previous clip can
+        never be published (or fire its audio egg) over it."""
+        with self._lk:
+            self._gen += 1
+            self._done_gen = self._gen
+            self._res = None
+            self._err = None
 
     @property
     def pending(self) -> bool:
@@ -144,20 +157,54 @@ class _AsyncClipPredictor:
             return res
 
     def drain(self, timeout: Optional[float] = 10.0):
-        """Wait at app exit: the last result, or None if nothing lands within
-        ``timeout`` (None = wait forever). NOTE: an in-flight device dispatch
-        must NOT be abandoned by exiting the interpreter — PJRT client
-        teardown with a live dispatch aborts the process (measured on the
-        TPU relay: 'FATAL: exception not rethrown' + SIGABRT) — so callers
-        that time out must either keep polling or block with timeout=None
-        before returning."""
+        """Wait for the NEWEST submission's result: returns it, or None if
+        nothing lands within ``timeout`` (None = wait forever). Result-only —
+        superseded dispatches may still be live afterwards; exit safety is
+        join()/shutdown()'s job."""
         import time
 
         deadline = None if timeout is None else time.monotonic() + timeout
-        while self.busy and (deadline is None
-                             or time.monotonic() < deadline):
+        while self.pending and (deadline is None
+                                or time.monotonic() < deadline):
             time.sleep(0.01)
         return self.poll()
+
+    def poll_overlay(self, cv2, out, busy_text: str):
+        """Per-frame UI step: the newest finished result (once) or None,
+        drawing ``busy_text`` while a result is still being computed."""
+        res = self.poll()
+        if res is None and self.pending:
+            cv2.putText(out, busy_text, (20, 260),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.8, (0, 200, 255), 2)
+        return res
+
+    def shutdown(self, what: str = "prediction"):
+        """App-exit policy: grace-drain the result, then wait out EVERY live
+        worker dispatch — exiting the interpreter with one in flight aborts
+        the process (measured on the TPU relay: PJRT teardown ->
+        'FATAL: exception not rethrown' + SIGABRT). Returns the final result
+        (possibly landing during the join) or None; prints rather than
+        raises worker errors so the caller's cleanup always proceeds."""
+        res = None
+        try:
+            res = self.drain(timeout=10)
+        except Exception as e:
+            print(f"{what} failed: {e}")
+        if self.busy:
+            print(f"waiting for the in-flight {what} — a first compile can "
+                  "take minutes; Ctrl-C abandons it (the runtime may abort "
+                  "during teardown)...")
+            try:
+                self.join()
+            except KeyboardInterrupt:
+                print("force-quit: abandoning the in-flight dispatch")
+                raise
+        if res is None:
+            try:
+                res = self.poll()  # a result that landed during the join
+            except Exception as e:
+                print(f"{what} failed: {e}")
+        return res
 
 
 def infer_live(cfg: InferConfig = InferConfig(),
@@ -189,14 +236,10 @@ def infer_live(cfg: InferConfig = InferConfig(),
             face = lm.detect(frame, ts)
             out = frame.copy()
             if ap is not None:
-                res = ap.poll()
+                res = ap.poll_overlay(cv2, out, "Predicting...")
                 if res is not None:
                     last_top3 = res
                     print("Top3:", last_top3)
-                elif ap.pending:
-                    cv2.putText(out, "Predicting...", (20, 260),
-                                cv2.FONT_HERSHEY_SIMPLEX, 0.8,
-                                (0, 200, 255), 2)
             if face is not None:
                 h, w = out.shape[:2]
                 feat, xy_n, center, mw = extract_features_frame(face, w, h, prev_xy)
@@ -237,6 +280,11 @@ def infer_live(cfg: InferConfig = InferConfig(),
                 if recording:
                     bufX, bufR = [], []
                     prev_xy, last_top3 = None, None
+                    if ap is not None:
+                        # a stale in-flight prediction from the previous
+                        # clip must not publish (or fire its audio egg)
+                        # over the new recording
+                        ap.invalidate()
                     print("Recording started...")
                 else:
                     print(f"Recording stopped. frames={len(bufX)}. Predicting...")
@@ -252,25 +300,15 @@ def infer_live(cfg: InferConfig = InferConfig(),
                             np.stack(bufX), roi, k=cfg.topk)
                         print("Top3:", last_top3)
     finally:
-        if ap is not None:
-            try:
-                res = ap.drain(timeout=10)
-                if res is None and ap.busy:
-                    # exiting with a live device dispatch SIGABRTs the
-                    # process (PJRT teardown) — block until it lands
-                    print("waiting for the in-flight prediction (a first "
-                          "compile can take minutes; Ctrl-C force-quits)...")
-                    res = ap.drain(timeout=None)
+        try:
+            if ap is not None:
+                res = ap.shutdown("prediction")
                 if res is not None:
                     print("Top3:", res)
-            except Exception as e:
-                # never mask the original exit path during cleanup
-                print(f"prediction failed: {e}")
-            finally:
-                ap.join()  # unconditional: no live dispatch may outlive us
-        cam.release()
-        lm.close()
-        cv2.destroyAllWindows()
+        finally:
+            cam.release()
+            lm.close()
+            cv2.destroyAllWindows()
 
 
 def infer_gated(cfg: InferConfig = InferConfig(),
@@ -843,14 +881,10 @@ def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",
             face = lm.detect(frame, ts)
             out = frame.copy()
             if ap is not None:
-                res = ap.poll()
+                res = ap.poll_overlay(cv2, out, "Scoring...")
                 if res is not None:
                     last = res
                     print("ranked:", last[:5])
-                elif ap.pending:
-                    cv2.putText(out, "Scoring...", (20, 260),
-                                cv2.FONT_HERSHEY_SIMPLEX, 0.8,
-                                (0, 200, 255), 2)
             if face is not None and recording:
                 h, w = out.shape[:2]
                 feat, xy_n, center, mw = extract_features_frame(face, w, h, prev_xy)
@@ -872,6 +906,8 @@ def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",
                 recording = not recording
                 if recording:
                     bufX, bufR, prev_xy, last = [], [], None, None
+                    if ap is not None:
+                        ap.invalidate()  # no stale sweep over the new clip
                 elif len(bufX) >= 5:
                     if ap is not None:
                         ap.submit(np.stack(bufX), np.stack(bufR))
@@ -879,20 +915,12 @@ def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",
                         last = dec.score_clip(np.stack(bufX), np.stack(bufR))
                         print("ranked:", last[:5])
     finally:
-        if ap is not None:
-            try:
-                res = ap.drain(timeout=10)
-                if res is None and ap.busy:
-                    print("waiting for the in-flight dictionary sweep (a "
-                          "first compile can take minutes; Ctrl-C "
-                          "force-quits)...")
-                    res = ap.drain(timeout=None)
+        try:
+            if ap is not None:
+                res = ap.shutdown("dictionary sweep")
                 if res is not None:
                     print("ranked:", res[:5])
-            except Exception as e:
-                print(f"scoring failed: {e}")
-            finally:
-                ap.join()  # unconditional: no live dispatch may outlive us
-        cam.release()
-        lm.close()
-        cv2.destroyAllWindows()
+        finally:
+            cam.release()
+            lm.close()
+            cv2.destroyAllWindows()

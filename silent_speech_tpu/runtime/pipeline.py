@@ -166,9 +166,14 @@ class LivePipeline:
             if self._error is not None:
                 # about to raise: the SURVIVING worker may still hold a live
                 # device dispatch, and exiting the interpreter with one
-                # aborts the process (PJRT teardown) — land it first.
-                # Bounded: _stop is set, so each worker exits after its
-                # in-flight item.
+                # aborts the process (PJRT teardown) — land it first. _stop
+                # is set, so the consumer exits after its in-flight item and
+                # the producer after its current source read (a wedged
+                # camera read can extend this — hence the message).
+                if self._tp.is_alive() or self._tc.is_alive():
+                    print("pipeline: a worker failed; waiting for the "
+                          "surviving worker's in-flight dispatch before "
+                          "raising...")
                 self._tp.join()
                 self._tc.join()
         if self._error is not None:

@@ -125,8 +125,10 @@ def test_infer_live_predict_async(tmp_path, predict_spy, capsys):
 
 def test_async_clip_predictor_semantics():
     """_AsyncClipPredictor: newest submission supersedes an unread older
-    result; worker errors re-raise on poll; drain returns the last result."""
+    result; invalidate() discards an in-flight result; worker errors
+    re-raise on poll; shutdown() lands every live dispatch."""
     import threading
+    import time
 
     gate1 = threading.Event()
 
@@ -138,9 +140,9 @@ def test_async_clip_predictor_semantics():
     ap = live._AsyncClipPredictor(slow_then_fast)
     ap.submit("a")          # blocks on gate1
     ap.submit("b")          # finishes first
-    deadline = __import__("time").monotonic() + 10
+    deadline = time.monotonic() + 10
     while ap.poll() != "b":
-        assert __import__("time").monotonic() < deadline
+        assert time.monotonic() < deadline
     # the exit-safety hazard window: the newest result landed (not pending)
     # but the superseded submission's thread still holds its dispatch (busy)
     assert not ap.pending and ap.busy
@@ -150,16 +152,27 @@ def test_async_clip_predictor_semantics():
     ap.join()
     assert not ap.busy
 
+    # invalidate: an in-flight submission's result is discarded (new
+    # recording started), and shutdown still lands the thread
+    gate2 = threading.Event()
+    ap3 = live._AsyncClipPredictor(lambda: gate2.wait(10) or "stale")
+    ap3.submit()
+    ap3.invalidate()
+    assert not ap3.pending and ap3.busy
+    gate2.set()
+    assert ap3.shutdown("test") is None
+    assert not ap3.busy
+
     def boom():
         raise RuntimeError("predict exploded")
 
     ap2 = live._AsyncClipPredictor(boom)
     ap2.submit()
     with pytest.raises(RuntimeError, match="predict exploded"):
-        deadline = __import__("time").monotonic() + 10
+        deadline = time.monotonic() + 10
         while True:
             ap2.poll()
-            assert __import__("time").monotonic() < deadline
+            assert time.monotonic() < deadline
 
 
 def test_infer_live_too_short_clip_rejected(tmp_path, predict_spy, capsys):
