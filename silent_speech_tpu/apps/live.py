@@ -188,6 +188,11 @@ class _AsyncClipPredictor:
         res = None
         try:
             res = self.drain(timeout=10)
+        except KeyboardInterrupt:
+            # even on Ctrl-C the in-flight dispatch must be waited out
+            # (interpreter exit with one live SIGABRTs) — fall through to
+            # the join phase below; a SECOND Ctrl-C there force-quits
+            print(f"Ctrl-C during the {what} grace wait")
         except Exception as e:
             print(f"{what} failed: {e}")
         if self.busy:
@@ -320,7 +325,9 @@ def infer_gated(cfg: InferConfig = InferConfig(),
     extraction onto a producer thread feeding the C++ SPSC ring; the gate
     and the (long) clip predict run on the dispatch thread, so a prediction
     never stalls the camera (the reference freezes the feed for the whole
-    predict).
+    predict). ``cfg.predict_async`` additionally moves the clip predict off
+    the gating thread (sequential: off the camera loop; threaded: off the
+    dispatch thread, so gating keeps pace through a first compile).
     """
     import cv2
 
@@ -351,37 +358,57 @@ def infer_gated(cfg: InferConfig = InferConfig(),
 def _run_gated_sequential(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
     last_top3, hold = None, 0
     prev_xy = None
-    for frame, ts in cam.frames():
-        face = lm.detect(frame, ts)
-        out = frame.copy()
-        if face is None:
-            # face lost: reset the segmentation state and velocity chain
-            # so one clip can't splice two utterances together
-            # (live_lower_half.py:298-306)
-            gate.reset()
-            prev_xy = None
-        else:
-            h, w = out.shape[:2]
-            feat, xy_n, center, mw = extract_features_frame(
-                face, w, h, prev_xy)
-            prev_xy = xy_n  # velocity chains as in training clips
-            openness = feat[-1]  # mouth_aspect (normalized openness)
-            roi = (_roi_frame(frame, center, mw, predictor.cfg)
-                   if predictor.cfg.use_roi else None)
-            ev = gate.push(float(openness), feat, roi)
-            state = "SPEAKING" if gate.speaking else "idle"
-            cv2.putText(out, f"open={openness:.3f} [{state}]", (20, 70),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 0), 2)
-            if ev is not None and len(ev.frames) > cfg.min_frames:
-                last_top3 = predictor.predict_arrays(ev.frames, ev.rois, k=3)
-                hold = stream_cfg.hold_frames
-                print("Top3:", last_top3)
-        if last_top3 is not None and hold > 0:
-            _overlay_top3(cv2, out, last_top3)
-            hold -= 1
-        cv2.imshow("Gated Infer", out)
-        if cv2.waitKey(1) & 0xFF in (27, ord("q")):
-            break
+    # predict_async: the gated clip predict runs off-thread so the camera
+    # keeps rolling through a first compile (newest-wins, like infer_live)
+    ap = (_AsyncClipPredictor(
+        lambda X, R: predictor.predict_arrays(X, R, k=3))
+        if cfg.predict_async else None)
+    try:
+        for frame, ts in cam.frames():
+            face = lm.detect(frame, ts)
+            out = frame.copy()
+            if ap is not None:
+                res = ap.poll_overlay(cv2, out, "Predicting...")
+                if res is not None:
+                    last_top3, hold = res, stream_cfg.hold_frames
+                    print("Top3:", last_top3)
+            if face is None:
+                # face lost: reset the segmentation state and velocity chain
+                # so one clip can't splice two utterances together
+                # (live_lower_half.py:298-306)
+                gate.reset()
+                prev_xy = None
+            else:
+                h, w = out.shape[:2]
+                feat, xy_n, center, mw = extract_features_frame(
+                    face, w, h, prev_xy)
+                prev_xy = xy_n  # velocity chains as in training clips
+                openness = feat[-1]  # mouth_aspect (normalized openness)
+                roi = (_roi_frame(frame, center, mw, predictor.cfg)
+                       if predictor.cfg.use_roi else None)
+                ev = gate.push(float(openness), feat, roi)
+                state = "SPEAKING" if gate.speaking else "idle"
+                cv2.putText(out, f"open={openness:.3f} [{state}]", (20, 70),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 0), 2)
+                if ev is not None and len(ev.frames) > cfg.min_frames:
+                    if ap is not None:
+                        ap.submit(ev.frames, ev.rois)
+                    else:
+                        last_top3 = predictor.predict_arrays(
+                            ev.frames, ev.rois, k=3)
+                        hold = stream_cfg.hold_frames
+                        print("Top3:", last_top3)
+            if last_top3 is not None and hold > 0:
+                _overlay_top3(cv2, out, last_top3)
+                hold -= 1
+            cv2.imshow("Gated Infer", out)
+            if cv2.waitKey(1) & 0xFF in (27, ord("q")):
+                break
+    finally:
+        if ap is not None:
+            res = ap.shutdown("prediction")
+            if res is not None:
+                print("Top3:", res)
 
 
 def _run_threaded_ui(cv2, pipe, stop, lock, ui, draw, window,
@@ -419,16 +446,30 @@ def _run_threaded_ui(cv2, pipe, stop, lock, ui, draw, window,
             _time.sleep(0.001)
     finally:
         stop.set()
-        stats = pipe.finish(timeout=10)
-        if stats["hung"]:
-            # exiting with a live device dispatch SIGABRTs the process
-            # (PJRT teardown) — block until the worker lands
-            print(f"waiting for the {'/'.join(stats['hung'])} thread "
-                  "(a device dispatch/compile can take minutes; Ctrl-C "
-                  "force-quits)...")
-            stats = pipe.finish(timeout=None)
+        try:
+            stats = pipe.finish(timeout=10)
+            if stats["hung"]:
+                # exiting with a live device dispatch SIGABRTs the process
+                # (PJRT teardown) — block until the worker lands
+                print(f"waiting for the {'/'.join(stats['hung'])} thread "
+                      "(a device dispatch/compile can take minutes; Ctrl-C "
+                      "force-quits)...")
+                stats = pipe.finish(timeout=None)
+        except KeyboardInterrupt:
+            # even on Ctrl-C the workers' in-flight dispatch must land
+            # before the interpreter exits (PJRT teardown SIGABRT) — a
+            # SECOND Ctrl-C knowingly force-quits
+            print("Ctrl-C: waiting for the in-flight dispatch before "
+                  "exiting (Ctrl-C again force-quits)...")
+            try:
+                stats = pipe.finish(timeout=None)
+            except KeyboardInterrupt:
+                print("force-quit: abandoning the in-flight dispatch")
+                raise
         print(f"pipeline: produced={stats['produced']} "
-              f"consumed={stats['consumed']} dropped={stats['dropped']}")
+              f"consumed={stats['consumed']} dropped={stats['dropped']}"
+              + (f" discarded={stats['discarded']}"
+                 if stats["discarded"] else ""))
 
 
 def _flagged_source(cam, lm, stop, lock, ui, produce, front_lost_fn,
@@ -436,8 +477,14 @@ def _flagged_source(cam, lm, stop, lock, ui, produce, front_lost_fn,
     """Shared producer generator for the threaded pipelines.
 
     Protocol: every camera frame travels through the ring; the payload's
-    first float is a validity flag (0 = face lost) so causal resets happen
-    on the dispatch thread in order with the frames around them. Producer-side
+    first float is a validity flag (0.0 = face-lost sentinel, 1.0 = valid,
+    2.0 = valid AND a face-lost gap preceded it) so causal resets happen
+    on the dispatch thread in order with the frames around them. The gap is
+    LATCHED producer-side and re-announced on the first valid frame after it
+    (flag 2.0): a full ring can drop the 0.0 sentinel itself, and without the
+    latch that would silently lose the gate/engine reset and splice two
+    utterances across the gap. Sink-side resets are idempotent, so seeing
+    both the sentinel and the latched flag is harmless. Producer-side
     causal state (velocity chain via prev_xy, any feature-frontend state) is
     reset HERE, on the thread that mutates it — resetting it from the
     dispatch thread would race the producer's next valid frame.
@@ -449,12 +496,14 @@ def _flagged_source(cam, lm, stop, lock, ui, produce, front_lost_fn,
     """
     lost = np.zeros(feat_dim, np.float32)
     prev_xy = None
+    pending_gap = False  # a face-lost gap not yet carried by a valid frame
     for frame, ts in cam.frames():
         if stop.is_set():
             break
         face = lm.detect(frame, ts) if video_ts else lm.detect(frame)
         if face is None:
             prev_xy = None
+            pending_gap = True
             front_lost_fn()
             with lock:
                 ui["frame"] = frame
@@ -468,7 +517,9 @@ def _flagged_source(cam, lm, stop, lock, ui, produce, front_lost_fn,
             ui["frame"] = frame
             ui["seq"] += 1
             ui["open"] = open_val
-        yield np.concatenate([[1.0], feat]).astype(np.float32), roi, ts
+        flag = 2.0 if pending_gap else 1.0
+        pending_gap = False
+        yield np.concatenate([[flag], feat]).astype(np.float32), roi, ts
 
 
 def _run_gated_threaded(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
@@ -500,6 +551,17 @@ def _run_gated_threaded(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
     source = _flagged_source(cam, lm, stop, lock, ui, produce,
                              front_lost_fn=lambda: None,
                              feat_dim=feat_dim, video_ts=True)
+    # predict_async on top of the threaded pipeline: the clip predict moves
+    # OFF the dispatch thread too, so gating keeps pace (and the ring stays
+    # shallow) through a first-compile-slow predict
+    ap = (_AsyncClipPredictor(
+        lambda X, R: predictor.predict_arrays(X, R, k=3))
+        if cfg.predict_async else None)
+
+    def _publish(top3):
+        with lock:
+            ui["top3"], ui["hold"] = top3, stream_cfg.hold_frames
+        print("Top3:", top3)
 
     def sink(feat_ext, roi, ts):
         if feat_ext[0] < 0.5:  # face lost (live_lower_half.py:298-306)
@@ -507,15 +569,23 @@ def _run_gated_threaded(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
             with lock:
                 ui["speaking"] = False
             return
+        if feat_ext[0] > 1.5:
+            # latched gap flag: the 0.0 sentinel itself was dropped by a
+            # full ring — reset before this first post-gap frame
+            gate.reset()
         feat = feat_ext[1:]
+        if ap is not None:
+            res = ap.poll()  # a finished async predict, published in order
+            if res is not None:
+                _publish(res)
         ev = gate.push(float(feat[-1]), feat, roi if use_roi else None)
         with lock:
             ui["speaking"] = gate.speaking
         if ev is not None and len(ev.frames) > cfg.min_frames:
-            top3 = predictor.predict_arrays(ev.frames, ev.rois, k=3)
-            with lock:
-                ui["top3"], ui["hold"] = top3, stream_cfg.hold_frames
-            print("Top3:", top3)
+            if ap is not None:
+                ap.submit(ev.frames, ev.rois)
+            else:
+                _publish(predictor.predict_arrays(ev.frames, ev.rois, k=3))
 
     def draw(out, snap, dropped):
         state = "SPEAKING" if snap["speaking"] else "idle"
@@ -534,8 +604,17 @@ def _run_gated_threaded(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
     pipe = LivePipeline(source, sink, packer,
                         capacity=stream_cfg.ring_capacity)
     pipe.start()
-    _run_threaded_ui(cv2, pipe, stop, lock, ui, draw, "Gated Infer",
-                     on_new_frame)
+    try:
+        _run_threaded_ui(cv2, pipe, stop, lock, ui, draw, "Gated Infer",
+                         on_new_frame)
+    finally:
+        if ap is not None:
+            # the dispatch thread is down (finish() joined it inside
+            # _run_threaded_ui) — land any still-running async predict
+            # before the interpreter exits
+            res = ap.shutdown("prediction")
+            if res is not None:
+                print("Top3:", res)
 
 
 class _CausalUniGRUFrontend:
@@ -622,6 +701,12 @@ def _stream_engine(params, meta, ckpt_path: str, stream_cfg: StreamConfig):
                 f"carry streaming extracts the official 180-D live features; "
                 f"this checkpoint was trained at d_target={d_target}"
             )
+        if not id_to_label:
+            raise ValueError(
+                f"{ckpt_path} has no id_to_word/id_to_label map in its "
+                "metadata — cannot name predictions (re-save the "
+                "checkpoint with its label map)"
+            )
         jparams = jax.tree.map(jnp.asarray, params)
 
         @jax.jit
@@ -639,13 +724,13 @@ def _stream_engine(params, meta, ckpt_path: str, stream_cfg: StreamConfig):
             return front(feat), float(feat[-1]), xy_n
 
         def push_fn(feat):
+            from ..infer.streaming import stream_probs
+
             logits = eng.push(feat)
             state["i"] += 1
             if state["i"] % stream_cfg.pred_every:
                 return None
-            m = logits.max()
-            p = np.exp(logits - m)
-            p /= p.sum() + 1e-9
+            p = stream_probs(logits)
             pid = int(p.argmax())
             return id_to_label.get(pid, str(pid)), float(p[pid])
 
@@ -684,6 +769,14 @@ def _stream_engine(params, meta, ckpt_path: str, stream_cfg: StreamConfig):
     from ..ops.features import lip83_features_batched
 
     input_dim = int(meta.get("input_dim", 83))  # the family's fixed default
+    if not id_to_label:
+        # fail at load time, before the camera opens — without this the
+        # first prediction dies mid-session on a KeyError
+        raise ValueError(
+            f"{ckpt_path} has no id_to_label/id_to_word map in its "
+            "metadata — cannot name predictions (re-save the checkpoint "
+            "with its label map)"
+        )
 
     @_jax.jit
     def fwd(X):
@@ -700,7 +793,7 @@ def _stream_engine(params, meta, ckpt_path: str, stream_cfg: StreamConfig):
         if res is None:
             return None
         pred, conf, _ = res
-        return id_to_label[pred], conf
+        return id_to_label.get(pred, str(pred)), conf
 
     def no_op_lost_fn():
         # reference behavior (inactive/live_feed.py:179-185): face-less
@@ -828,6 +921,10 @@ def _run_stream_threaded(cv2, cam, lm, frame_fn, push_fn, front_lost_fn,
         if feat_ext[0] < 0.5:  # face lost
             engine_lost_fn()
             return
+        if feat_ext[0] > 1.5:
+            # latched gap flag: the 0.0 sentinel was dropped by a full
+            # ring — reset before this first post-gap frame
+            engine_lost_fn()
         res = push_fn(feat_ext[1:])
         if res is not None:
             with lock:

@@ -32,6 +32,20 @@ from ..core.config import StreamConfig
 from ..ops.gru import gru_cell_step
 
 
+def stream_probs(logits: np.ndarray) -> np.ndarray:
+    """Stable softmax for the streaming engines' per-frame logits.
+
+    Single definition for every streaming consumer (SlidingWindowEngine and
+    the apps' carry push path). Deliberately NOT shared with
+    infer.predictor.topk_from_logits, which pins the reference's exact
+    formatted-output math (float64, no epsilon,
+    live_infer_official.py:223-226)."""
+    logits = np.asarray(logits)
+    p = np.exp(logits - logits.max())
+    p /= p.sum() + 1e-9
+    return p
+
+
 class SlidingWindowEngine:
     """Rolling-buffer word scorer.
 
@@ -67,9 +81,7 @@ class SlidingWindowEngine:
         t = min(len(seq), self.cfg.max_t)
         X[:t] = seq[:t]
         logits = np.asarray(self.forward(jnp.asarray(X[None])))[0]
-        m = logits.max()
-        p = np.exp(logits - m)
-        p /= p.sum() + 1e-9
+        p = stream_probs(logits)
         pred = int(p.argmax())
         return pred, float(p[pred]), p
 

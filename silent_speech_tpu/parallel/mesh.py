@@ -30,9 +30,12 @@ def make_mesh(
         devices = jax.devices()
     n = len(devices)
     if data is None:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        if n % model:
+            raise ValueError(
+                f"{n} devices not divisible by model={model}")
         data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, axis_names=("data", "model"))
 
@@ -86,6 +89,11 @@ def mesh_from_shape(shape: dict) -> Mesh:
                 "backend is pre-registered at interpreter boot; "
                 "programmatically, pin jax.default_device to a CPU device)"
             )
+    if data_axis is not None and len(devices) > need:
+        # fully-explicit shape on a LARGER backend (e.g. mesh_shape=data:4 on
+        # the 8-virtual-CPU emulation): use the first `need` devices rather
+        # than tripping make_mesh's exact-count check
+        devices = list(devices)[:need]
     return make_mesh(devices, data=data_axis, model=model_axis)
 
 

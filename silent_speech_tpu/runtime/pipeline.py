@@ -80,8 +80,10 @@ class LivePipeline:
         self.ring = FrameRing(capacity, packer.slot_bytes)
         self.timer = StageTimer()
         self._stop = threading.Event()
+        self._quit = threading.Event()
         self._produced = 0
         self._consumed = 0
+        self._discarded = 0
         self._error: Optional[BaseException] = None
         self._tp: Optional[threading.Thread] = None
         self._tc: Optional[threading.Thread] = None
@@ -99,9 +101,24 @@ class LivePipeline:
             self._error = e         # death would report success-shaped stats
             self._stop.set()
 
+    def _discard_backlog(self):
+        """Quit path: launch NO new sink dispatches — pop-and-drop the ring
+        backlog (counted) while following the producer out, so pop() stays
+        single-threaded (SPSC) and the ring is empty when both workers land.
+        Without this, a quit with a deep backlog (accumulated behind a slow
+        predict) would keep starting fresh device dispatches post-quit."""
+        while (self._tp is not None and self._tp.is_alive()) or len(self.ring):
+            if self.ring.pop() is not None:
+                self._discarded += 1
+            else:
+                time.sleep(0.0005)
+
     def _consumer(self):
         try:
             while not self._stop.is_set() or len(self.ring):
+                if self._quit.is_set():
+                    self._discard_backlog()
+                    return
                 item = self.ring.pop()
                 if item is None:
                     time.sleep(0.0005)
@@ -127,8 +144,12 @@ class LivePipeline:
         return self
 
     def stop(self):
-        """Ask both workers to wind down (producer stops at the next frame;
-        the consumer drains the ring first)."""
+        """User quit: the producer stops at its next frame and the consumer
+        DISCARDS the ring backlog (counted in ``stats()['discarded']``)
+        instead of dispatching it — only the sink call already in flight is
+        waited out. Natural end-of-source (no stop()) still drains every
+        queued frame through the sink."""
+        self._quit.set()
         self._stop.set()
 
     @property
@@ -176,6 +197,15 @@ class LivePipeline:
                           "raising...")
                 self._tp.join()
                 self._tc.join()
+            if not self._tp.is_alive() and (
+                    self._tc is None or not self._tc.is_alive()):
+                # both workers are down: anything the producer managed to
+                # push after the consumer exited (quit/error windows) is
+                # counted as discarded, keeping produced ==
+                # consumed + dropped + discarded (single-threaded pop here —
+                # no live popper remains)
+                while self.ring.pop() is not None:
+                    self._discarded += 1
         if self._error is not None:
             raise RuntimeError(
                 f"pipeline worker failed after produced={self._produced} "
@@ -193,6 +223,7 @@ class LivePipeline:
             produced=self._produced,
             consumed=self._consumed,
             dropped=self.ring.dropped,
+            discarded=self._discarded,
             hung=hung,
             stages=self.timer.summary(),
         )

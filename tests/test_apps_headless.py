@@ -290,6 +290,51 @@ def test_threaded_gated_bitwise_equals_sequential(tmp_path, predict_spy):
         np.testing.assert_array_equal(ra, rb)
 
 
+def test_infer_gated_predict_async(tmp_path, predict_spy, capsys):
+    """predict_async=true on the gated app (sequential): the clip predict
+    runs off the camera loop — the InferConfig knob must be honored here,
+    not silently swallowed — and the result is published during the run or
+    by the exit drain."""
+    ckpt = _save_ckpt(tmp_path)
+    n = 50
+    open_seq = [6.0] * 8 + [20.0] * 15 + [6.0] * (n - 23)
+    with sim_session(keys=[], n_frames=n,
+                     faces=face_track(n, open_seq=open_seq)):
+        live.infer_gated(InferConfig(ckpt_path=ckpt, predict_async=True),
+                         StreamConfig())
+    assert len(predict_spy) == 1
+    assert "Top3:" in capsys.readouterr().out
+
+
+def test_infer_gated_threaded_predict_async(tmp_path, predict_spy, capsys):
+    """predict_async on top of pipeline=threaded: the clip predict moves off
+    the dispatch thread too (gating keeps pace through a slow predict); the
+    same burst segments and the result still publishes."""
+    ckpt = _save_ckpt(tmp_path)
+    n = 50
+    open_seq = [6.0] * 8 + [20.0] * 15 + [6.0] * (n - 23)
+    with sim_session(keys=[], n_frames=n,
+                     faces=face_track(n, open_seq=open_seq)):
+        live.infer_gated(InferConfig(ckpt_path=ckpt, predict_async=True),
+                         StreamConfig(pipeline="threaded"))
+    assert len(predict_spy) == 1
+    assert "Top3:" in capsys.readouterr().out
+
+
+def test_infer_stream_rejects_missing_label_map(tmp_path):
+    """A streaming checkpoint with no id_to_label/id_to_word map fails
+    loudly at LOAD time — not mid-session with a KeyError at the first
+    prediction after the camera is already open."""
+    from silent_speech_tpu.models.variants import init_gru_word_classifier
+
+    params = jax.tree.map(
+        np.asarray, init_gru_word_classifier(jax.random.PRNGKey(0), 83, 5))
+    ckpt = str(tmp_path / "nolabels.ckpt")
+    save_checkpoint(ckpt, params, dict(input_dim=83, max_t=40))
+    with pytest.raises(ValueError, match="id_to_label"):
+        live.infer_stream(ckpt, StreamConfig())
+
+
 def test_infer_stream_sliding_window(tmp_path):
     from silent_speech_tpu.models.variants import init_gru_word_classifier
 
@@ -423,8 +468,10 @@ def test_flagged_source_resets_frontend_producer_side():
     assert kinds == ["produce", "produce", "lost", "produce", "lost"]
     # every callback ran on the consuming (producer) thread
     assert {t for _, t in events} == {threading.get_ident()}
-    # all 5 frames travel the ring; lost ones carry flag 0, valid ones 1
-    assert [int(p[0][0]) for p in out] == [1, 1, 0, 1, 0]
+    # all 5 frames travel the ring; lost ones carry flag 0; the first valid
+    # frame AFTER a gap re-announces it with flag 2 (latched: a full ring
+    # can drop the 0 sentinel itself, and the reset must survive that)
+    assert [int(p[0][0]) for p in out] == [1, 1, 0, 2, 0]
     assert ui["seq"] == 5
 
 

@@ -172,6 +172,23 @@ def test_mesh_from_shape_rejects_oversized_on_accelerator(monkeypatch):
         M.mesh_from_shape({"data": 1024})
 
 
+def test_mesh_from_shape_uses_device_subset_on_larger_backend():
+    """A fully-explicit shape SMALLER than the backend (mesh_shape=data:4 on
+    the 8-virtual-CPU emulation, or a future multi-chip host) must build a
+    mesh over the first `need` devices — not crash on make_mesh's
+    exact-count check."""
+    from silent_speech_tpu.parallel import mesh as M
+
+    m = M.mesh_from_shape({"data": 4})
+    assert m.devices.shape == (4, 1)
+    m = M.mesh_from_shape({"data": 2, "model": 2})
+    assert m.devices.shape == (2, 2)
+    # 'data' omitted still absorbs ALL the backend's devices (the documented
+    # default — here the 8-CPU emulation backend, whatever the host has)
+    m = M.mesh_from_shape({"model": 2})
+    assert m.devices.shape[1] == 2 and m.devices.size >= 4
+
+
 def test_mesh_from_shape_rejects_unknown_axis():
     """A typoed axis name (mesh_shape=dta:8) must error, not silently build
     a different mesh than the user asked for."""

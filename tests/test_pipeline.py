@@ -104,6 +104,43 @@ def test_pipeline_state_before_start(rng):
     assert pipe.finish(timeout=0)["produced"] == 0
 
 
+def test_pipeline_stop_discards_backlog(rng):
+    """stop() (user quit) must not keep launching sink dispatches for the
+    ring backlog: only the in-flight sink call lands; the rest is discarded
+    (counted) so the app can exit promptly — while a natural end-of-source
+    (test_pipeline_streams_through_engine) still drains everything."""
+    import threading
+    import time
+
+    release = threading.Event()
+    sunk = []
+
+    def sink(feat, roi, ts):
+        sunk.append(ts)
+        release.wait(20)  # the slow predict the backlog accumulates behind
+        release.clear()
+
+    N = 40
+    def source():
+        for i in range(N):
+            yield rng.standard_normal(4).astype(np.float32), None, i
+
+    pipe = LivePipeline(source(), sink, FramePacker(feat_dim=4), capacity=64)
+    pipe.start()
+    deadline = time.monotonic() + 10
+    while not sunk and time.monotonic() < deadline:
+        time.sleep(0.001)  # consumer is now inside the slow sink call
+    while pipe._tp.is_alive() and time.monotonic() < deadline:
+        time.sleep(0.001)  # producer has queued the whole backlog
+    pipe.stop()
+    release.set()  # land the in-flight dispatch
+    stats = pipe.finish(timeout=10)
+    assert stats["produced"] == N
+    assert len(sunk) == stats["consumed"] == 1  # nothing dispatched post-quit
+    assert stats["discarded"] == N - 1 - stats["dropped"]
+    assert stats["consumed"] + stats["dropped"] + stats["discarded"] == N
+
+
 def test_pipeline_finish_reports_hung_worker(rng):
     """finish(timeout) must not shape a still-running worker as a clean
     drain: the stats carry the hung worker's name (e.g. a dispatch thread
