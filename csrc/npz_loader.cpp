@@ -128,9 +128,15 @@ bool inflate_raw(const uint8_t* src, size_t src_len, uint8_t* dst,
     return rc == Z_STREAM_END && zs.total_out == dst_len;
 }
 
-bool parse_npy(std::vector<uint8_t>&& blob, Npy& out) {
+// Parse result codes shared by parse_npy / load_found_entry: the caller
+// must distinguish a CORRUPT member (error) from a VALID one this parser
+// merely declines (big-endian, fortran order, exotic compression — numpy
+// reads those fine, so the Python fallback must get a chance).
+enum ParseRc { kOk = 0, kCorrupt = 1, kDeclined = 2 };
+
+int parse_npy(std::vector<uint8_t>&& blob, Npy& out) {
     if (blob.size() < 12 || std::memcmp(blob.data(), "\x93NUMPY", 6) != 0)
-        return false;
+        return kCorrupt;
     uint8_t major = blob[6];
     size_t hlen, hoff;
     if (major == 1) {
@@ -140,31 +146,32 @@ bool parse_npy(std::vector<uint8_t>&& blob, Npy& out) {
         hlen = rd32(&blob[8]);
         hoff = 12;
     }
-    if (hlen > blob.size() || hoff > blob.size() - hlen) return false;
+    if (hlen > blob.size() || hoff > blob.size() - hlen) return kCorrupt;
     std::string hdr((const char*)&blob[hoff], hlen);
     // descr — every find() is npos-guarded: an exception thrown through the
     // extern "C" ctypes boundary would abort the process
     size_t dp = hdr.find("'descr'");
-    if (dp == std::string::npos) return false;
+    if (dp == std::string::npos) return kCorrupt;
     size_t q1 = hdr.find('\'', dp + 7);
-    if (q1 == std::string::npos) return false;
+    if (q1 == std::string::npos) return kCorrupt;
     size_t q2 = hdr.find('\'', q1 + 1);
-    if (q2 == std::string::npos) return false;
+    if (q2 == std::string::npos) return kCorrupt;
     std::string descr = hdr.substr(q1 + 1, q2 - q1 - 1);
-    if (descr.size() < 2) return false;
+    if (descr.size() < 2) return kCorrupt;
     size_t ti = (descr[0] == '<' || descr[0] == '|' || descr[0] == '>') ? 1 : 0;
-    if (descr[0] == '>') return false;  // big-endian unsupported
+    if (descr[0] == '>') return kDeclined;  // big-endian: numpy reads it fine
     out.dtype = descr[ti];
     out.itemsize = std::atoi(descr.c_str() + ti + 1);
-    if (out.itemsize <= 0 || out.itemsize > 16) return false;
-    if (hdr.find("'fortran_order': True") != std::string::npos) return false;
+    if (out.itemsize <= 0 || out.itemsize > 16) return kCorrupt;
+    if (hdr.find("'fortran_order': True") != std::string::npos)
+        return kDeclined;  // valid npy, just not C-order
     // shape
     size_t sp = hdr.find("'shape':");
-    if (sp == std::string::npos) return false;
+    if (sp == std::string::npos) return kCorrupt;
     size_t po = hdr.find('(', sp);
-    if (po == std::string::npos) return false;
+    if (po == std::string::npos) return kCorrupt;
     size_t pc = hdr.find(')', po);
-    if (pc == std::string::npos) return false;
+    if (pc == std::string::npos) return kCorrupt;
     std::string shp = hdr.substr(po + 1, pc - po - 1);
     out.shape.clear();
     const char* s = shp.c_str();
@@ -179,41 +186,50 @@ bool parse_npy(std::vector<uint8_t>&& blob, Npy& out) {
     const uint64_t kMaxCount = 1ull << 33;
     uint64_t count = 1;
     for (uint64_t dim : out.shape) {
-        if (dim >= (1ull << 32)) return false;
+        if (dim >= (1ull << 32)) return kCorrupt;
         // overflow-safe product bound: check via division BEFORE multiplying
-        if (dim != 0 && count > kMaxCount / dim) return false;
+        if (dim != 0 && count > kMaxCount / dim) return kCorrupt;
         count *= dim;
     }
     uint64_t payload = blob.size() - hoff - hlen;
-    if (count > payload / (uint64_t)out.itemsize) return false;
+    if (count > payload / (uint64_t)out.itemsize) return kCorrupt;
     out.owned = std::move(blob);
     out.data = out.owned.data() + hoff + hlen;
-    return true;
+    return kOk;
 }
 
-bool load_entry(const std::vector<uint8_t>& zip, const std::vector<Entry>& es,
-                const char* want, Npy& out) {
-    for (const auto& e : es) {
-        if (e.name != want) continue;
-        std::vector<uint8_t> blob;
-        if (e.method == 0) {
-            blob.assign(zip.begin() + e.data_offset,
-                        zip.begin() + e.data_offset + e.raw_size);
-        } else if (e.method == 8) {
-            blob.resize(e.raw_size);
-            if (!inflate_raw(zip.data() + e.data_offset, e.comp_size,
-                             blob.data(), e.raw_size))
-                return false;
-        } else {
-            return false;
-        }
-        return parse_npy(std::move(blob), out);
+const Entry* find_entry(const std::vector<Entry>& es, const char* want) {
+    for (const auto& e : es)
+        if (e.name == want) return &e;
+    return nullptr;
+}
+
+// Decompress + parse one located entry. Distinct from find_entry so the
+// caller can tell "member absent" (valid for roi.npy) from "member present
+// but corrupt" (must be an error, never silently treated as absent).
+int load_found_entry(const std::vector<uint8_t>& zip, const Entry& e,
+                     Npy& out) {
+    std::vector<uint8_t> blob;
+    if (e.method == 0) {
+        blob.assign(zip.begin() + e.data_offset,
+                    zip.begin() + e.data_offset + e.raw_size);
+    } else if (e.method == 8) {
+        blob.resize(e.raw_size);
+        if (!inflate_raw(zip.data() + e.data_offset, e.comp_size,
+                         blob.data(), e.raw_size))
+            return kCorrupt;
+    } else {
+        return kDeclined;  // exotic compression method: numpy may read it
     }
-    return false;
+    return parse_npy(std::move(blob), out);
 }
 
-// convert a (T, D)-ish source into float32 rows
-void copy_as_f32(const Npy& a, float* dst, uint64_t rows, uint64_t cols) {
+// convert a (T, D)-ish source into float32 rows; false = dtype outside the
+// supported set {f4,f8,i4,i8,u1} — the CALLER must surface that as an error,
+// never as silently-zero features (the Python fallback would load e.g. a
+// float16 corpus correctly, so a silent skip here would be a native-vs-Python
+// numeric divergence)
+bool copy_as_f32(const Npy& a, float* dst, uint64_t rows, uint64_t cols) {
     uint64_t n = rows * cols;
     if (a.dtype == 'f' && a.itemsize == 4) {
         std::memcpy(dst, a.data, n * 4);
@@ -229,7 +245,10 @@ void copy_as_f32(const Npy& a, float* dst, uint64_t rows, uint64_t cols) {
     } else if (a.dtype == 'u' && a.itemsize == 1) {
         const uint8_t* s = a.data;
         for (uint64_t i = 0; i < n; i++) dst[i] = (float)s[i];
+    } else {
+        return false;
     }
+    return true;
 }
 
 }  // namespace
@@ -239,8 +258,13 @@ extern "C" {
 // Load one clip's X (+ optional roi) into padded slices.
 // Returns length (frames used) >= 0, or a negative error code:
 //   -1 unreadable file        -2 corrupt zip container
-//   -3 missing X.npy          -4 X has wrong rank
-//   -5 roi shape/dtype wrong  -6 zip64 archive (unsupported)
+//   -3 missing/corrupt X.npy  -4 X has wrong rank
+//   -5 roi corrupt or shape/dtype wrong
+//   -6 zip64 archive (unsupported)
+//   -7 member is a VALID npy the native path declines (dtype outside
+//      {f4,f8,i4,i8,u1}, big-endian, fortran order, exotic compression) —
+//      the caller must fall back to Python rather than train on
+//      silently-zero rows or report a misleading "corrupt"
 // (mirrored by NATIVE_ERROR_NAMES in data/native_loader.py)
 int64_t npz_load_clip(const char* path, int64_t max_t, int64_t d,
                       float* X_out,               // (max_t, d), pre-zeroed
@@ -254,19 +278,34 @@ int64_t npz_load_clip(const char* path, int64_t max_t, int64_t d,
     if (zrc == 2) return -6;  // zip64 unsupported
     if (zrc != 0) return -2;
     Npy X;
-    if (!load_entry(zip, es, "X.npy", X)) return -3;
+    const Entry* xe = find_entry(es, "X.npy");
+    if (xe == nullptr) return -3;
+    int xrc = load_found_entry(zip, *xe, X);
+    if (xrc == kDeclined) return -7;  // valid npy (big-endian/fortran/exotic
+                                      // compression): numpy fallback reads it
+    if (xrc != kOk) return -3;
     if (X.shape.size() != 2) return -4;
     int64_t T = (int64_t)X.shape[0];
     int64_t D = (int64_t)X.shape[1];
     int64_t use_d = D < d ? D : d;  // fix_dim: truncate/zero-pad columns
     int64_t use_t = T < max_t ? T : max_t;
 
+    bool has_roi = false;
     Npy R;
-    bool has_roi = roi_out && load_entry(zip, es, "roi.npy", R);
-    if (has_roi) {
+    const Entry* re = roi_out ? find_entry(es, "roi.npy") : nullptr;
+    if (re != nullptr) {
+        // roi.npy is PRESENT: a failure to decode it is an error, never
+        // "no roi" — the Python fallback raises on the same file, and a
+        // clip silently training on all-zero ROI frames would be a
+        // native-vs-Python divergence. A valid-but-declined member (e.g.
+        // fortran order) routes to the numpy fallback like X does.
+        int rrc = load_found_entry(zip, *re, R);
+        if (rrc == kDeclined) return -7;
+        if (rrc != kOk) return -5;
         if (R.shape.size() != 3 || (int64_t)R.shape[1] != roi_h ||
             (int64_t)R.shape[2] != roi_w || R.dtype != 'u' || R.itemsize != 1)
             return -5;
+        has_roi = true;
         int64_t Tr = (int64_t)R.shape[0];
         // conservative X/roi alignment (train_model_official.py:159-169)
         if (Tr < use_t) use_t = Tr;
@@ -282,7 +321,7 @@ int64_t npz_load_clip(const char* path, int64_t max_t, int64_t d,
         std::vector<float> row(D);
         for (int64_t t = 0; t < use_t; t++) {
             Npy rowview = {X.dtype, X.itemsize, {}, X.data + (size_t)t * D * X.itemsize, {}};
-            copy_as_f32(rowview, row.data(), 1, (uint64_t)D);
+            if (!copy_as_f32(rowview, row.data(), 1, (uint64_t)D)) return -7;
             std::memcpy(X_out + t * d, row.data(), (size_t)use_d * 4);
         }
     }

@@ -67,8 +67,13 @@ uint64_t rb_capacity(const RingBuf* rb) { return rb->capacity; }
 uint64_t rb_slot_bytes(const RingBuf* rb) { return rb->slot_bytes; }
 
 uint64_t rb_size(const RingBuf* rb) {
-    uint64_t h = rb->head.load(std::memory_order_acquire);
+    // tail FIRST, then head: a third-thread observer that read head first
+    // could see a pop+push land in between and compute h_old - t_new < 0,
+    // wrapping to ~2^64. Reading tail first guarantees h >= t for any
+    // caller (tail only grows, and head read afterwards is >= the head
+    // that produced the observed tail).
     uint64_t t = rb->tail.load(std::memory_order_acquire);
+    uint64_t h = rb->head.load(std::memory_order_acquire);
     return h - t;
 }
 

@@ -33,6 +33,10 @@ def _crop_roi_host(frame_bgr, center, scale, cfg: RecorderConfig, mode: str):
     return crop_resize_gray_frame_host(
         frame_bgr, center, scale,
         out_h=cfg.roi_h, out_w=cfg.roi_w, mode=mode, input_layout="bgr",
+        # the RECORDER's skip rule is x2 <= x1 / y2 <= y1
+        # (record_landmarks_official.py:114), not live inference's stricter
+        # min-2px box (live_infer_official.py:181-182, the default)
+        min_side=0,
     )
 
 

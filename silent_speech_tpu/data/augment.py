@@ -83,6 +83,13 @@ def drop_frames(key, X, lengths, cfg: AugmentConfig):
         eligible = (pos >= 1) & (pos < (lengths - 1)[:, None])
     else:
         eligible = pos < lengths[:, None]
+    # clamp: a non-default config (drop_max within ~2 of drop_min_t) can ask
+    # for more drops than eligible positions exist — without this, the rank
+    # trick would "drop" ineligible/padding frames (scores=inf rank after the
+    # eligible ones) and new_len could reach 0 or negative, poisoning the
+    # downstream GRU/pool masks. Also always keep >= 1 frame.
+    k = jnp.minimum(k, eligible.sum(axis=1))
+    k = jnp.maximum(jnp.minimum(k, lengths.astype(k.dtype) - 1), 0)
     scores = jax.random.uniform(k_scores, (B, T))
     scores = jnp.where(eligible, scores, jnp.inf)
     order = jnp.argsort(scores, axis=1)  # eligible positions in random order

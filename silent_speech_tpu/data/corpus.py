@@ -36,17 +36,62 @@ class CorpusIndex:
         return Counter(self.labels)
 
 
+def _npy_member_shape(zf, name: str) -> tuple:
+    """Shape of one .npy member from its HEADER alone — no array inflate.
+
+    The preflight only needs X's feature dim; NpzFile.__getitem__ would
+    decompress the whole (T, D) payload per clip, making the scan an
+    O(corpus bytes) serial pass before the parallel native loader even
+    runs. zf.open streams, so only the ~100 header bytes are inflated."""
+    from numpy.lib import format as npf
+
+    with zf.open(name) as fp:
+        version = npf.read_magic(fp)
+        if version == (1, 0):
+            return npf.read_array_header_1_0(fp)[0]
+        if version == (2, 0):
+            return npf.read_array_header_2_0(fp)[0]
+    # exotic/future npy version (e.g. (3,0) utf-8 headers): pay the full
+    # read rather than fail — RE-OPENED, since read_array wants to consume
+    # the magic bytes read_magic already took
+    with zf.open(name) as fp:
+        return npf.read_array(fp, allow_pickle=False).shape
+
+
 def scan_corpus(clip_dir: str, verbose: bool = True) -> CorpusIndex:
+    import io
+    import zipfile
+
     files = sorted(glob.glob(os.path.join(clip_dir, "*.npz")))
     if not files:
         raise RuntimeError(f"No .npz files found in {clip_dir}")
     labels, dims, has_roi, sigs = [], [], [], []
     for f in files:
-        with np.load(f, allow_pickle=False) as d:
-            labels.append(str(d["label"]) if "label" in d.files else "")
-            dims.append(int(d["X"].shape[1]))
-            has_roi.append("roi" in d.files)
-            sigs.append(tuple(d["idxs"].tolist()) if "idxs" in d.files else None)
+        try:
+            with zipfile.ZipFile(f) as zf:
+                names = set(zf.namelist())
+                if "X.npy" not in names:
+                    raise KeyError(f"{f}: no X entry")
+                shape = _npy_member_shape(zf, "X.npy")
+                if len(shape) != 2:
+                    raise ValueError(f"{f}: X must be (T, D), got {shape}")
+                dims.append(int(shape[1]))
+                has_roi.append("roi.npy" in names)
+                # label/idxs are tiny members — full read is fine
+                if "label.npy" in names:
+                    lab = np.load(io.BytesIO(zf.read("label.npy")),
+                                  allow_pickle=False)
+                    labels.append(str(lab))
+                else:
+                    labels.append("")
+                if "idxs.npy" in names:
+                    ix = np.load(io.BytesIO(zf.read("idxs.npy")),
+                                 allow_pickle=False)
+                    sigs.append(tuple(ix.tolist()))
+                else:
+                    sigs.append(None)
+        except zipfile.BadZipFile as e:
+            raise IOError(f"{f}: corrupt npz container: {e}") from e
     idx = CorpusIndex(files, labels, dims, has_roi, sigs)
     if verbose:
         print("Total clips:", len(files))

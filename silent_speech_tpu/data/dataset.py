@@ -74,10 +74,21 @@ def build_device_dataset(
     roi_hw: tuple[int, int] = (48, 96),
     device: bool = True,
     prefer_native: bool = True,
+    labels: Optional[list[str]] = None,
 ) -> DeviceDataset:
     """Load, pad and stack a clip list. Uses the native parallel npz loader
-    (csrc/npz_loader.cpp) for the array payloads when available; labels come
-    from the filename convention with an npz fallback."""
+    (csrc/npz_loader.cpp) for the array payloads when available.
+
+    ``labels`` (parallel to ``files``) lets a caller that already scanned the
+    corpus (CorpusIndex.labels via scan_corpus) skip the per-file label
+    re-read — otherwise the native path would re-open every archive's
+    central directory a second time just for the 'label' entry. Honored on
+    BOTH load paths (native and numpy fallback) so the label authority —
+    and therefore label_to_id coverage — cannot depend on whether the
+    native library happened to build on this host."""
+    if labels is not None and len(labels) != len(files):
+        raise ValueError(
+            f"labels has {len(labels)} entries for {len(files)} files")
     put = jnp.asarray if device else np.asarray
     if prefer_native and x_dim is not None:
         from ..runtime import native
@@ -87,18 +98,19 @@ def build_device_dataset(
             X, roi, lengths, _ = load_corpus_arrays(
                 files, max_t, x_dim, use_roi, roi_hw
             )
-            # labels: the npz 'label' entry is authoritative (the reference's
-            # NPZWordDataset reads it; a filename-first rule would silently
-            # mislabel clips whose speaker id contains an underscore);
-            # reading one tiny zip member per file is cheap — no array
-            # decompression happens
-            labels = []
-            for f in files:
-                with np.load(f, allow_pickle=False) as d:
-                    lab = str(d["label"]) if "label" in d.files else None
-                if lab is None:
-                    lab = parse_filename_label(f)
-                labels.append(lab)
+            if labels is None:
+                # labels: the npz 'label' entry is authoritative (the
+                # reference's NPZWordDataset reads it; a filename-first rule
+                # would silently mislabel clips whose speaker id contains an
+                # underscore); reading one tiny zip member per file is cheap
+                # — no array decompression happens
+                labels = []
+                for f in files:
+                    with np.load(f, allow_pickle=False) as d:
+                        lab = str(d["label"]) if "label" in d.files else None
+                    if lab is None:
+                        lab = parse_filename_label(f)
+                    labels.append(lab)
             return DeviceDataset(
                 X=put(X),
                 lengths=put(lengths),
@@ -107,6 +119,11 @@ def build_device_dataset(
                 labels=labels,
             )
     clips = load_clips(files)
+    if labels is not None:
+        # same authority as the native path (the caller's scan), not each
+        # clip's own missing-label fallback
+        for c, lab in zip(clips, labels):
+            c.label = lab
     if x_dim is not None:
         for c in clips:
             c.X = fix_dim(c.X, x_dim)

@@ -17,11 +17,18 @@ from ..runtime import native
 NATIVE_ERROR_NAMES = {
     -1: "unreadable file",
     -2: "corrupt zip container",
-    -3: "missing X.npy entry",
+    -3: "missing or corrupt X.npy entry",
     -4: "X.npy has wrong rank (expected (T, D))",
-    -5: "roi.npy shape/dtype mismatch",
+    -5: "roi.npy corrupt or shape/dtype mismatch",
     -6: "zip64 archive (unsupported by the native loader)",
+    -7: "valid npy member the native loader declines",
 }
+
+# codes that mean "a valid file the native parser declines" — loaded through
+# the numpy path per-file instead of raised (zip64 containers; members with
+# dtypes outside the native set {f4,f8,i4,i8,u1}, big-endian or fortran
+# order, or exotic compression)
+_NATIVE_FALLBACK_CODES = (-6, -7)
 
 
 class NativeLoaderError(IOError):
@@ -110,22 +117,22 @@ def load_corpus_arrays(
         n_threads,
     )
     if failed:
-        # zip64 archives (-6) are valid npz files the native parser declines;
-        # honor the documented contract by loading those through numpy
-        # per-file. Everything else is a real corpus error — raise with every
-        # bad file named.
+        # zip64 archives (-6) and out-of-set dtypes (-7) are valid npz files
+        # the native parser declines; honor the documented contract by
+        # loading those through numpy per-file. Everything else is a real
+        # corpus error — raise with every bad file named.
         failures = []
         for i in range(N):
             code = int(lengths[i])
             if code >= 0:
                 continue
-            if code == -6:
+            if code in _NATIVE_FALLBACK_CODES:
                 try:
                     _py_load_one(i, files[i])
                 except Exception as e:  # keep the per-file named contract
                     failures.append(
-                        (files[i], -6,
-                         f"zip64 fallback failed: {type(e).__name__}: {e}")
+                        (files[i], code,
+                         f"numpy fallback failed: {type(e).__name__}: {e}")
                     )
             else:
                 failures.append(

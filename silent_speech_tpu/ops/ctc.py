@@ -125,28 +125,8 @@ def ctc_loss(
 
     log_probs: (B, T, C) log-softmax; labels: (B, L_max) padded label ids.
     """
-    B, T, C = log_probs.shape
-    ext = _extend_labels(labels, blank)  # (B, S)
-    S = ext.shape[-1]
-    s_idx = jnp.arange(S)[None, :]
-    prev2 = _shift2(ext, blank)
-    # a label position may skip the preceding blank iff its char differs from
-    # the previous char (standard CTC transition rule)
-    allow_skip = (s_idx >= 2) & (ext != blank) & (ext != prev2)
-    # forbid lattice states beyond each sample's true extended length
-    s_valid = s_idx < (2 * label_lengths[:, None] + 1)
-
-    alpha = _ctc_alphas(log_probs, input_lengths, ext, allow_skip)
-    alpha = jnp.where(s_valid, alpha, NEG_INF)
-
-    end = 2 * label_lengths  # index of final blank in ext
-    a_last = jnp.take_along_axis(alpha, end[:, None], axis=-1)[:, 0]
-    a_prev = jnp.take_along_axis(
-        alpha, jnp.maximum(end - 1, 0)[:, None], axis=-1
-    )[:, 0]
-    a_prev = jnp.where(label_lengths > 0, a_prev, NEG_INF)
-    total = jnp.logaddexp(a_last, a_prev)
-    nll = -total
+    nll = _ctc_nll_single(log_probs, input_lengths, labels, label_lengths,
+                          blank)
     if zero_infinity:
         nll = jnp.where(jnp.isfinite(nll) & (nll < -NEG_INF), nll, 0.0)
     return jnp.mean(nll / jnp.maximum(label_lengths.astype(nll.dtype), 1.0))
@@ -171,17 +151,29 @@ def ctc_word_logprob(
 
 
 def _ctc_nll_single(log_probs, input_lengths, labels, label_lengths, blank):
-    ext = _extend_labels(labels, blank)
+    """Per-sample CTC NLL (B,) — THE lattice setup/readout, shared by the
+    batched loss (ctc_loss) and the dictionary scorers (ctc_word_logprob,
+    ctc_word_logprobs_batch). Any change to the transition rule or the
+    final-state readout happens here exactly once — a second copy would let
+    the training loss and the dictionary sweep silently diverge."""
+    ext = _extend_labels(labels, blank)  # (B, S)
     S = ext.shape[-1]
     s_idx = jnp.arange(S)[None, :]
     prev2 = _shift2(ext, blank)
+    # a label position may skip the preceding blank iff its char differs from
+    # the previous char (standard CTC transition rule)
     allow_skip = (s_idx >= 2) & (ext != blank) & (ext != prev2)
+    # forbid lattice states beyond each sample's true extended length
     s_valid = s_idx < (2 * label_lengths[:, None] + 1)
     alpha = _ctc_alphas(log_probs, input_lengths, ext, allow_skip)
     alpha = jnp.where(s_valid, alpha, NEG_INF)
-    end = 2 * label_lengths
+    end = 2 * label_lengths  # index of final blank in ext
     a_last = jnp.take_along_axis(alpha, end[:, None], axis=-1)[:, 0]
-    a_prev = jnp.take_along_axis(alpha, jnp.maximum(end - 1, 0)[:, None], axis=-1)[:, 0]
+    a_prev = jnp.take_along_axis(
+        alpha, jnp.maximum(end - 1, 0)[:, None], axis=-1
+    )[:, 0]
+    # an empty target's only path is the final blank
+    a_prev = jnp.where(label_lengths > 0, a_prev, NEG_INF)
     return -jnp.logaddexp(a_last, a_prev)
 
 

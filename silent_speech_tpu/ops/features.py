@@ -67,6 +67,23 @@ def _frame_geometry(lm_px: jnp.ndarray, idxs: jnp.ndarray):
     return xy_n, center, mw, mouth_open, aspect
 
 
+def _masked_step_velocity(xy_n: jnp.ndarray,
+                          valid: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Gate-aware one-step mean landmark velocity -> (B, T).
+
+    THE semantics-bearing construct every recorder generation shares
+    (vel[0] = 0; a frame pair spanning an out-of-range/face-lost gap
+    contributes 0 — must match the sequential reference exactly). One
+    definition so the reset rule cannot drift between feature families."""
+    d = xy_n[:, 1:] - xy_n[:, :-1]  # (B, T-1, K, 2)
+    vel = jnp.pad(jnp.mean(jnp.linalg.norm(d, axis=-1), axis=-1),
+                  ((0, 0), (1, 0)))  # vel[0] = 0
+    if valid is not None:
+        pair_ok = jnp.pad(valid[:, 1:] & valid[:, :-1], ((0, 0), (1, 0)))
+        vel = jnp.where(pair_ok, vel, 0.0)
+    return vel
+
+
 @partial(jax.jit, static_argnames=("frame_w", "frame_h"))
 def extract_features_batched(
     landmarks: jnp.ndarray,
@@ -87,13 +104,7 @@ def extract_features_batched(
     lm_px = landmarks[..., :2] * jnp.asarray([frame_w, frame_h], landmarks.dtype)
     xy_n, center, mw, mouth_open, aspect = _frame_geometry(lm_px, jnp.asarray(_FIXED))
 
-    # Gate-aware one-step velocity.
-    d = xy_n[:, 1:] - xy_n[:, :-1]  # (B, T-1, K, 2)
-    step_vel = jnp.mean(jnp.linalg.norm(d, axis=-1), axis=-1)  # (B, T-1)
-    vel = jnp.pad(step_vel, ((0, 0), (1, 0)))  # vel[0] = 0
-    if valid is not None:
-        pair_ok = jnp.pad(valid[:, 1:] & valid[:, :-1], ((0, 0), (1, 0)))
-        vel = jnp.where(pair_ok, vel, 0.0)
+    vel = _masked_step_velocity(xy_n, valid)
 
     B, T = xy_n.shape[:2]
     flat = xy_n.reshape(B, T, -1)  # (B, T, 176)
@@ -200,11 +211,7 @@ def mouth83_features_batched(
     loop_n = (loop - center[..., None, :]) / width[..., None, None]
     area = polygon_area(loop_n)
 
-    d = xy_n[:, 1:] - xy_n[:, :-1]
-    vel = jnp.pad(jnp.mean(jnp.linalg.norm(d, axis=-1), axis=-1), ((0, 0), (1, 0)))
-    if valid is not None:
-        pair_ok = jnp.pad(valid[:, 1:] & valid[:, :-1], ((0, 0), (1, 0)))
-        vel = jnp.where(pair_ok, vel, 0.0)
+    vel = _masked_step_velocity(xy_n, valid)
 
     B, T = xy_n.shape[:2]
     return jnp.concatenate(
@@ -233,11 +240,7 @@ def span_norm_features_batched(
     )
     xy_n = (xy - center[..., None, :]) / span[..., None, None]
 
-    d = xy_n[:, 1:] - xy_n[:, :-1]
-    vel = jnp.pad(jnp.mean(jnp.linalg.norm(d, axis=-1), axis=-1), ((0, 0), (1, 0)))
-    if valid is not None:
-        pair_ok = jnp.pad(valid[:, 1:] & valid[:, :-1], ((0, 0), (1, 0)))
-        vel = jnp.where(pair_ok, vel, 0.0)
+    vel = _masked_step_velocity(xy_n, valid)
 
     B, T = xy_n.shape[:2]
     return jnp.concatenate(

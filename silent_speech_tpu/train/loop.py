@@ -69,13 +69,16 @@ def train(
     if verbose:
         print("Using ROI in training." if use_roi else "Training WITHOUT ROI.")
 
+    file_label = dict(zip(index.files, index.labels))  # scanned once already
     train_ds = build_device_dataset(
         train_files, label_to_id, cfg.max_t, use_roi, x_dim,
         roi_hw=(cfg.roi_h, cfg.roi_w), device=not cfg.host_data,
+        labels=[file_label[f] for f in train_files],
     )
     val_ds = build_device_dataset(
         val_files, label_to_id, cfg.max_t, use_roi, x_dim,
         roi_hw=(cfg.roi_h, cfg.roi_w), device=not cfg.host_data,
+        labels=[file_label[f] for f in val_files],
     )
     weights = inverse_frequency_weights(train_ds.labels)
 

@@ -144,6 +144,24 @@ def test_drop_frames_keeps_boundary_frames(rng):
         assert (np.diff(vals) > 0).all()  # order preserved
 
 
+def test_drop_frames_clamps_to_eligible(rng):
+    """A config whose drop_max approaches drop_min_t (legal on the public
+    AugmentConfig surface) must never drop ineligible/padding frames or
+    drive new_len to 0/negative — k clamps to the eligible count."""
+    key = jax.random.PRNGKey(7)
+    T = 16
+    X = np.arange(T, dtype=np.float32)[None, :, None].repeat(8, 0) + 1.0
+    lengths = np.asarray([4, 5, 6, 4, 5, 6, 4, 5], np.int32)
+    cfg = AugmentConfig(drop_prob=1.0, drop_max=4, drop_min_t=3, noise_prob=0)
+    Xd, Ld = drop_frames(key, jnp.asarray(X), jnp.asarray(lengths), cfg)
+    Xd, Ld = np.asarray(Xd), np.asarray(Ld)
+    assert (Ld >= 2).all()  # interior-only keeps both endpoints
+    for b in range(8):
+        assert Xd[b, 0, 0] == 1.0  # first frame kept
+        assert Xd[b, Ld[b] - 1, 0] == float(lengths[b])  # last frame kept
+        assert not Xd[b, Ld[b]:].any()  # padding stays zero
+
+
 def test_time_warp_and_mixup(rng):
     key = jax.random.PRNGKey(4)
     B, T, D = 4, 50, 6

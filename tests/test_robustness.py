@@ -35,6 +35,80 @@ def test_native_loader_reports_corrupt_files(tmp_path):
         load_corpus_arrays(files, 40, 180, False)
 
 
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_loader_f16_falls_back_to_numpy(tmp_path, rng):
+    """An X dtype outside the native set (float16) must load CORRECTLY via
+    the per-file numpy fallback (code -7) — never as silently-zero features
+    with a valid length (the bug class this pins)."""
+    X = rng.standard_normal((8, 180)).astype(np.float16)
+    path = str(tmp_path / "synth_yes_1700000000_0000.npz")
+    np.savez_compressed(path, X=X, label="yes")
+    Xa, roi, lengths, has_roi = load_corpus_arrays([path], 40, 180, False)
+    assert lengths[0] == 8
+    np.testing.assert_allclose(Xa[0, :8], X.astype(np.float32), atol=1e-6)
+    assert np.abs(Xa[0, :8]).max() > 0  # really loaded, not zero-filled
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_loader_bigendian_and_fortran_fall_back(tmp_path, rng):
+    """Big-endian and fortran-order X are valid npy that numpy reads fine —
+    the native path must route them to the per-file fallback (-7), not
+    report a misleading 'corrupt X' (-3)."""
+    Xbe = rng.standard_normal((6, 180)).astype(">f4")
+    pbe = str(tmp_path / "synth_yes_1700000000_0002.npz")
+    np.savez_compressed(pbe, X=Xbe, label="yes")
+    Xf = np.asfortranarray(rng.standard_normal((6, 180)).astype(np.float32))
+    pf = str(tmp_path / "synth_yes_1700000000_0003.npz")
+    np.savez_compressed(pf, X=Xf, label="yes")
+    Xa, _, lengths, _ = load_corpus_arrays([pbe, pf], 40, 180, False)
+    assert list(lengths) == [6, 6]
+    np.testing.assert_allclose(Xa[0, :6], Xbe.astype("<f4"), atol=1e-6)
+    np.testing.assert_allclose(Xa[1, :6], np.ascontiguousarray(Xf), atol=1e-6)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_scan_corpus_handles_exotic_npy_version(tmp_path, rng):
+    """An npy member with a format version other than (1,0)/(2,0) must still
+    scan (full-read fallback) — numpy itself reads such files fine."""
+    import io
+    import zipfile
+
+    from silent_speech_tpu.data.corpus import scan_corpus
+
+    X = rng.standard_normal((6, 180)).astype(np.float32)
+    buf = io.BytesIO()
+    np.lib.format.write_array(buf, X, version=(3, 0))
+    path = str(tmp_path / "synth_yes_1700000000_0004.npz")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("X.npy", buf.getvalue())
+    with np.load(path) as z:  # sanity: numpy reads it
+        assert z["X"].shape == (6, 180)
+    idx = scan_corpus(str(tmp_path), verbose=False)
+    assert idx.dims == [180]
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_loader_corrupt_roi_is_error(tmp_path, rng):
+    """A PRESENT-but-undecodable roi.npy member is a named per-file error —
+    never silently treated as 'no roi' (which would train the clip on
+    all-zero ROI frames while the numpy path raises on the same file)."""
+    import io
+    import zipfile
+
+    from silent_speech_tpu.data.native_loader import NativeLoaderError
+
+    buf = io.BytesIO()
+    np.lib.format.write_array(
+        buf, rng.standard_normal((8, 180)).astype(np.float32))
+    path = str(tmp_path / "synth_yes_1700000000_0001.npz")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("X.npy", buf.getvalue())
+        zf.writestr("roi.npy", b"this is not an npy payload")
+    with pytest.raises(NativeLoaderError) as ei:
+        load_corpus_arrays([path], 40, 180, True)
+    assert ei.value.failures[0][1] == -5
+
+
 def test_predictor_rejects_short_clip(tmp_path, rng):
     cfg = model.BiGRUConfig(x_dim=180, num_classes=3, use_roi=False,
                             hidden=8, gru_layers=1)
@@ -106,7 +180,7 @@ def test_native_loader_names_every_failure(tmp_path):
     assert failures[bad_zip][0] == -2
     assert "corrupt zip" in failures[bad_zip][1]
     assert failures[no_x][0] == -3
-    assert "missing X.npy" in failures[no_x][1]
+    assert "X.npy" in failures[no_x][1]
     assert good[0] not in failures
     assert bad_zip in str(ei.value) and "corrupt zip" in str(ei.value)
 
