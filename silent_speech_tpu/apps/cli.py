@@ -186,6 +186,19 @@ def _extras(kv, *allowed) -> dict:
     return d
 
 
+def _pop_kwargs(kv, *names) -> dict:
+    """Extract named key=value args that are train()-function kwargs rather
+    than config fields (resume_from/metrics_path/profile_dir) — without this
+    the resume path would be unreachable from the user surface."""
+    out = {}
+    for a in list(kv):
+        k, _, v = a.partition("=")
+        if k in names:
+            kv.remove(a)
+            out[k] = v
+    return out
+
+
 def _pop_model_path(kv) -> dict:
     """Extract model_path= for the camera commands (every app main takes it
     as a function parameter, not a config field — the doctor's remedy)."""
@@ -222,7 +235,8 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
         print_progress_summary(cfg.out_dir)
     elif cmd == "train":
         from ..train import train
-        train(apply_overrides(TrainConfig(), kv))
+        kw = _pop_kwargs(kv, "resume_from", "metrics_path", "profile_dir")
+        train(apply_overrides(TrainConfig(), kv), **kw)
     elif cmd == "train-ctc":
         from ..train import train_ctc
         train_ctc(apply_overrides(CTCTrainConfig(), kv))

@@ -14,8 +14,14 @@ def main(cam_index: int = 0, model_path: str = "models/face_landmarker.task",
          open_low: float = 0.035, open_high: float = 0.055, ema_alpha: float = 0.3):
     import cv2
 
-    cam = CameraSource(cam_index)
+    # landmarker FIRST: its asset-missing failure must not strand an opened
+    # camera handle (same ordering as record_timed.py / the live apps)
     lm = FaceLandmarkerSession(model_path, video_mode=True)
+    try:
+        cam = CameraSource(cam_index)
+    except Exception:
+        lm.close()
+        raise
     ema = EMA(ema_alpha)
     gate = Hysteresis(open_low, open_high)
     sel = ()

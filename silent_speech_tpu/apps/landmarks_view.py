@@ -10,8 +10,14 @@ def main(cam_index: int = 0, model_path: str = "models/face_landmarker.task",
          label_every: int = 1):
     import cv2
 
-    cam = CameraSource(cam_index)
+    # landmarker FIRST: its asset-missing failure must not strand an opened
+    # camera handle (same ordering as record_timed.py / the live apps)
     lm = FaceLandmarkerSession(model_path, video_mode=True)
+    try:
+        cam = CameraSource(cam_index)
+    except Exception:
+        lm.close()
+        raise
     try:
         for frame, ts in cam.frames():
             face = lm.detect(frame, ts)

@@ -483,8 +483,11 @@ def _flagged_source(cam, lm, stop, lock, ui, produce, front_lost_fn,
     LATCHED producer-side and re-announced on the first valid frame after it
     (flag 2.0): a full ring can drop the 0.0 sentinel itself, and without the
     latch that would silently lose the gate/engine reset and splice two
-    utterances across the gap. Sink-side resets are idempotent, so seeing
-    both the sentinel and the latched flag is harmless. Producer-side
+    utterances across the gap. The latch clears only when a flagged frame is
+    actually ACCEPTED by the ring (LivePipeline feeds push's result back via
+    generator send) — clearing at yield time would lose the reset whenever
+    the flagged frame itself is dropped. Sink-side resets are idempotent, so
+    seeing both the sentinel and the latched flag is harmless. Producer-side
     causal state (velocity chain via prev_xy, any feature-frontend state) is
     reset HERE, on the thread that mutates it — resetting it from the
     dispatch thread would race the producer's next valid frame.
@@ -503,13 +506,15 @@ def _flagged_source(cam, lm, stop, lock, ui, produce, front_lost_fn,
         face = lm.detect(frame, ts) if video_ts else lm.detect(frame)
         if face is None:
             prev_xy = None
-            pending_gap = True
             front_lost_fn()
             with lock:
                 ui["frame"] = frame
                 ui["seq"] += 1
                 ui["open"] = 0.0
-            yield lost, None, ts
+            accepted = yield lost, None, ts
+            # sentinel delivered -> the reset travels in ring order; dropped
+            # -> latch it for the next valid frame
+            pending_gap = not accepted
             continue
         h, w = frame.shape[:2]
         feat, open_val, prev_xy, roi = produce(face, frame, w, h, prev_xy)
@@ -518,8 +523,9 @@ def _flagged_source(cam, lm, stop, lock, ui, produce, front_lost_fn,
             ui["seq"] += 1
             ui["open"] = open_val
         flag = 2.0 if pending_gap else 1.0
-        pending_gap = False
-        yield np.concatenate([[flag], feat]).astype(np.float32), roi, ts
+        accepted = yield np.concatenate([[flag], feat]).astype(np.float32), roi, ts
+        if pending_gap and accepted:
+            pending_gap = False  # the flagged frame really reached the ring
 
 
 def _run_gated_threaded(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
@@ -564,6 +570,13 @@ def _run_gated_threaded(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
         print("Top3:", top3)
 
     def sink(feat_ext, roi, ts):
+        if ap is not None:
+            # poll BEFORE the face-validity branch: a finished async predict
+            # must publish even while the face is lost (the sequential loop
+            # polls every frame regardless)
+            res = ap.poll()
+            if res is not None:
+                _publish(res)
         if feat_ext[0] < 0.5:  # face lost (live_lower_half.py:298-306)
             gate.reset()
             with lock:
@@ -574,10 +587,6 @@ def _run_gated_threaded(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
             # full ring — reset before this first post-gap frame
             gate.reset()
         feat = feat_ext[1:]
-        if ap is not None:
-            res = ap.poll()  # a finished async predict, published in order
-            if res is not None:
-                _publish(res)
         ev = gate.push(float(feat[-1]), feat, roi if use_roi else None)
         with lock:
             ui["speaking"] = gate.speaking
@@ -766,7 +775,7 @@ def _stream_engine(params, meta, ckpt_path: str, stream_cfg: StreamConfig):
     import jax as _jax
 
     from ..models.variants import gru_word_classifier_forward
-    from ..ops.features import lip83_features_batched
+    from ..ops.features import lip83_features_frame_host
 
     input_dim = int(meta.get("input_dim", 83))  # the family's fixed default
     if not id_to_label:
@@ -785,8 +794,11 @@ def _stream_engine(params, meta, ckpt_path: str, stream_cfg: StreamConfig):
     engine = SlidingWindowEngine(fwd, input_dim, stream_cfg)
 
     def frame_fn(face, w, h, prev_xy):
-        feats, openness = lip83_features_batched(jnp.asarray(face[None, None]))
-        return np.asarray(feats)[0, 0], float(np.asarray(openness)[0, 0]), None
+        # host numpy: the per-frame producer path must never pay a device
+        # dispatch/compile (only the window FORWARD, every pred_every
+        # frames, belongs on device)
+        feat, openness = lip83_features_frame_host(face)
+        return feat, float(openness), None
 
     def push_fn(feat):
         res = engine.push(feat)

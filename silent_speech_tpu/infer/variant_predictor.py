@@ -158,9 +158,16 @@ class VariantPredictor:
 
         ckpt = _ckpt if _ckpt is not None else torch.load(
             path, map_location="cpu", weights_only=False)
+        i2l = {int(k): str(v) for k, v in ckpt.get("id_to_word", {}).items()}
+        if not i2l:
+            # fail BEFORE weight import — topk_from_logits indexes the map
+            # directly, so an empty one would KeyError mid-session
+            raise ValueError(
+                f"{path} has no id_to_word map in its checkpoint — cannot "
+                "name predictions (re-save the checkpoint with its label map)"
+            )
         params = import_temporal_cnn(ckpt["model_state"])
         d_in = int(ckpt["d_in"])
-        i2l = {int(k): str(v) for k, v in ckpt.get("id_to_word", {}).items()}
         fwd = lambda X, L: V.temporal_cnn_forward(params, X, L)
         return cls(fwd, i2l, d_in, 10 ** 6, zscore=True, time_bucketed=True)
 

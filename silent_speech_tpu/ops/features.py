@@ -144,6 +144,28 @@ def extract_features_frame(
     return feat, xy_n, center, mw
 
 
+def lip83_features_frame_host(face) -> tuple[np.ndarray, float]:
+    """Single-frame HOST mirror of lip83_features_batched — the
+    capture/producer-thread path. A per-frame jitted dispatch here would
+    stall the capture loop for the whole first compile (20-240 s over the
+    TPU relay) and add two device->host transfers per frame; the 83-D math
+    is ~100 FLOPs. Equality with the batched kernel is pinned in
+    tests/test_features.py. Returns (feat (83,) f32, openness)."""
+    xy = np.asarray(face, np.float32)[:, :2]
+    pts = xy[_LIP]  # (40, 2)
+    center = pts.mean(axis=0, keepdims=True)
+    mw = float(np.linalg.norm(xy[RIGHT_CORNER] - xy[LEFT_CORNER])) + _EPS
+    pts_n = (pts - center) / np.float32(mw)
+    openness = float(np.linalg.norm(xy[13] - xy[14])) / mw
+    height = float(np.linalg.norm(xy[0] - xy[17])) / mw
+    corner = float(np.linalg.norm(xy[61] - xy[291])) / mw - 1.0
+    feat = np.concatenate(
+        [pts_n.reshape(-1),
+         np.asarray([openness, height, corner], np.float32)]
+    ).astype(np.float32)
+    return feat, openness
+
+
 @jax.jit
 def lip83_features_batched(landmarks: jnp.ndarray):
     """Batched 83-D streaming features (inactive/live_feed.py:57-86).

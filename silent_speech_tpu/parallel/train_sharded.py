@@ -8,8 +8,11 @@ on ICI. This is BASELINE config #5 (data-parallel training across chips).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -34,6 +37,10 @@ def make_sharded_train_step(
     """
     dtype = jnp.bfloat16 if scfg.compute_dtype == "bfloat16" else jnp.float32
     pspecs = bigru_param_specs(params, tensor_parallel=tensor_parallel)
+    # host-copy before placement: device_put can ALIAS a caller's on-device
+    # buffers (same device + layout), and the donated step below would then
+    # delete the caller's params out from under them on the first call
+    params = jax.tree.map(np.asarray, params)
     params = shard_params(params, mesh, pspecs)
     opt_state = optimizer.init(params)
 
@@ -44,7 +51,11 @@ def make_sharded_train_step(
     # knob (roi_impl, label smoothing, ...) carries to the sharded path
     loss_fn = _make_loss_fn(scfg, dtype)
 
-    @jax.jit
+    # donate params+opt_state like the single-chip steps (train/step.py):
+    # without it every update keeps the OLD copies alive alongside the new
+    # ones — ~2x params+Adam peak HBM at exactly the scaled workloads this
+    # subsystem exists for. The loop reassigns both on every call.
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, rng, X, lengths, roi, y):
         X = jax.lax.with_sharding_constraint(X, batch_sh)
         rng, aug_rng, drop_rng = jax.random.split(rng, 3)

@@ -90,12 +90,23 @@ class LivePipeline:
 
     def _producer(self):
         try:
-            for feat, roi, ts in self.source:
-                if self._stop.is_set():
+            it = iter(self.source)
+            has_send = hasattr(it, "send")
+            accepted = None  # push result fed back into a generator source
+            while not self._stop.is_set():
+                try:
+                    # a generator source receives whether its PREVIOUS frame
+                    # was actually enqueued (False = dropped by a full ring)
+                    # via `accepted = yield payload` — the apps' flagged
+                    # sources use this to keep a causal-reset latch armed
+                    # until the flagged frame really reaches the consumer
+                    item = it.send(accepted) if has_send else next(it)
+                except StopIteration:
                     break
+                feat, roi, ts = item
                 with self.timer.stage("pack_push"):
                     payload = self.packer.pack(feat, roi)
-                    self.ring.push(payload, stamp=int(ts))
+                    accepted = bool(self.ring.push(payload, stamp=int(ts)))
                 self._produced += 1
         except BaseException as e:  # surfaced by run(); a silent daemon
             self._error = e         # death would report success-shaped stats

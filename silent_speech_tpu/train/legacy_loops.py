@@ -143,7 +143,11 @@ def train_reduced(cfg: ReducedConfig = ReducedConfig(), verbose=True) -> dict:
     # two counters, as in the reference: the save/early-stop patience
     # (train_reduced.py:249,260-262) and ReduceLROnPlateau's internal one
     # (torch semantics: rel threshold 1e-4, reduce when bad > patience)
-    lr_now, bad_plateau, bad_stop, best_sched = cfg.lr, 0, 0, 0.0
+    # best_sched starts at -inf (torch mode_worse for mode='max'): epoch 1
+    # is ALWAYS an improvement, even at 0.0 acc — a 0.0 init would count it
+    # bad and reduce the LR one epoch early on degenerate starts
+    lr_now, bad_plateau, bad_stop = cfg.lr, 0, 0
+    best_sched = float("-inf")
     meta = dict(x_dim=d_in, max_t=cfg.max_t, labels=sorted(label_to_id),
                 label_to_id=label_to_id,
                 id_to_label={str(k): v for k, v in id_to_label.items()},

@@ -128,8 +128,14 @@ def train(
                 jax.tree.structure(opt_state), resumed_opt_leaves
             )
         start_epoch = int(r_meta.get("epoch", 0)) + 1
+        # restore the best-so-far bar + patience counter — without these the
+        # first post-resume epoch would overwrite the best checkpoint even
+        # when its val accuracy is WORSE (best_acc restarting at 0.0)
+        resumed_best_acc = float(r_meta.get("best_val_acc", 0.0))
+        resumed_bad = int(r_meta.get("bad_epochs", 0))
         if verbose:
-            print(f"Resumed from {resume_from} at epoch {start_epoch}")
+            print(f"Resumed from {resume_from} at epoch {start_epoch} "
+                  f"(best val acc so far {resumed_best_acc:.3f})")
 
     mesh = None
     if cfg.mesh_shape:
@@ -193,7 +199,8 @@ def train(
         id_to_label=id_to_label, seed=cfg.seed, gru_layers=cfg.gru_layers,
     )
 
-    best_acc, bad = 0.0, 0
+    best_acc = resumed_best_acc if resume_from is not None else 0.0
+    bad = resumed_bad if resume_from is not None else 0
     # host copy: the jitted step donates the live params buffers, so an alias
     # would dangle if no epoch ever improves val accuracy
     best_params = jax.tree.map(np.asarray, params)
@@ -206,19 +213,23 @@ def train(
         prof_ctx = profiler_trace(profile_dir if ep == start_epoch else None)
         prof_ctx.__enter__()
         tr_loss = tr_acc = tr_n = 0.0
-        for idx in epoch_batches(
-            train_ds.n, cfg.batch_size, sampler_rng, weights=weights
-        ):
-            params, opt_state, step_rng, m = train_step(
-                params, opt_state, step_rng,
-                train_ds.X, train_ds.lengths, train_ds.roi, train_ds.y,
-                jnp.asarray(idx),
-            )
-            b = len(idx)
-            tr_loss += float(m["loss"]) * b
-            tr_acc += float(m["acc"]) * b
-            tr_n += b
-        prof_ctx.__exit__(None, None, None)
+        try:
+            for idx in epoch_batches(
+                train_ds.n, cfg.batch_size, sampler_rng, weights=weights
+            ):
+                params, opt_state, step_rng, m = train_step(
+                    params, opt_state, step_rng,
+                    train_ds.X, train_ds.lengths, train_ds.roi, train_ds.y,
+                    jnp.asarray(idx),
+                )
+                b = len(idx)
+                tr_loss += float(m["loss"]) * b
+                tr_acc += float(m["acc"]) * b
+                tr_n += b
+        finally:
+            # a mid-epoch failure must still stop the profiler trace, or a
+            # retry in the same process dies with 'profiler already started'
+            prof_ctx.__exit__(None, None, None)
         tr_loss /= max(1.0, tr_n)
         tr_acc /= max(1.0, tr_n)
 
@@ -258,7 +269,8 @@ def train(
             bad = 0
             best_params = jax.tree.map(lambda a: np.asarray(a), params)
             save_checkpoint(
-                cfg.out_path, best_params, dict(meta, epoch=ep),
+                cfg.out_path, best_params,
+                dict(meta, epoch=ep, best_val_acc=best_acc, bad_epochs=bad),
                 opt_state_arrays=[np.asarray(a) for a in jax.tree.leaves(opt_state)],
                 format=cfg.checkpoint_format,
                 async_save=cfg.async_checkpoint,

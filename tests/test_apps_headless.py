@@ -475,6 +475,43 @@ def test_flagged_source_resets_frontend_producer_side():
     assert ui["seq"] == 5
 
 
+def test_flagged_source_latch_survives_dropped_sentinel():
+    """The causal-reset latch clears only when a flagged frame is ACCEPTED
+    by the ring (LivePipeline feeds push's result back via generator send):
+    a full ring that drops the 0.0 sentinel — and even the first flag-2.0
+    frame — must see the gap re-announced until one flagged frame lands."""
+    import threading
+
+    frames = [(np.zeros((4, 4, 3), np.uint8), i * 33) for i in range(6)]
+    faces = [object(), None, object(), object(), object(), object()]
+
+    class Cam:
+        def frames(self):
+            return iter(frames)
+
+    class Lm:
+        def __init__(self):
+            self.i = -1
+
+        def detect(self, frame):
+            self.i += 1
+            return faces[self.i]
+
+    def produce(face, frame, w, h, prev_xy):
+        return np.ones(3, np.float32), 0.5, None, None
+
+    ui = {"frame": None, "seq": 0, "open": 0.0}
+    gen = live._flagged_source(Cam(), Lm(), threading.Event(),
+                               threading.Lock(), ui, produce, lambda: None,
+                               feat_dim=4)
+    flags = [int(next(gen)[0][0])]
+    # per-frame ring verdicts: frame0 accepted; the sentinel dropped; the
+    # first flag-2 frame dropped too; then accepted
+    for accepted in (True, False, False, True, True):
+        flags.append(int(gen.send(accepted)[0][0]))
+    assert flags == [1, 0, 2, 2, 1, 1]
+
+
 def test_threaded_carry_stream_bitwise_equals_sequential(tmp_path,
                                                          monkeypatch):
     """pipeline=threaded must preserve the sequential loop's semantics
@@ -655,3 +692,29 @@ def test_cli_sim_mode(tmp_path, capsys):
     rc = cli.main(["record", f"out_dir={out}", "speaker=sim", "sim=30"])
     assert rc == 0
     assert len(os.listdir(out)) == 1
+
+
+def test_cli_train_exposes_function_kwargs(monkeypatch, capsys):
+    """`train resume_from=... metrics_path=...` reaches train() as function
+    kwargs (they are not TrainConfig fields) — without the plumbing the
+    resume path exists but no user surface can invoke it. The resume
+    semantics themselves are pinned by test_metrics_resume."""
+    import silent_speech_tpu.train as train_pkg
+
+    seen = {}
+
+    def fake_train(cfg, **kw):
+        seen.update(kw, clip_dir=cfg.clip_dir)
+        return {}
+
+    monkeypatch.setattr(train_pkg, "train", fake_train)
+    rc = cli.main(["train", "clip_dir=somewhere",
+                   "resume_from=old.ckpt", "metrics_path=m.jsonl"])
+    assert rc == 0
+    assert seen == dict(resume_from="old.ckpt", metrics_path="m.jsonl",
+                        clip_dir="somewhere")
+
+    # a non-train command still rejects these keys as unknown options
+    rc = cli.main(["eval-dataset", "ckpt_path=x", "resume_from=old.ckpt"])
+    assert rc != 0
+    assert "resume_from" in capsys.readouterr().err

@@ -74,3 +74,22 @@ def test_lip83_matches_reference_formula(rng):
     ref = np.concatenate([feat80, [open_ref, height, corner]])
     np.testing.assert_allclose(np.asarray(feats)[0, 0], ref, atol=1e-5)
     np.testing.assert_allclose(np.asarray(openness)[0, 0], open_ref, atol=1e-6)
+
+
+def test_lip83_host_frame_matches_batched(rng):
+    """The producer-thread host path (lip83_features_frame_host) must equal
+    the batched device kernel to f32 rounding (host numpy keeps f64
+    intermediates, the kernel is pure f32 — measured divergence ~4e-7
+    relative) — this is what lets the capture loop avoid a per-frame jitted
+    dispatch without changing the streaming engine's input."""
+    from silent_speech_tpu.ops.features import lip83_features_frame_host
+
+    lms = _random_landmarks(rng, 2, 4)
+    feats, openness = lip83_features_batched(jnp.asarray(lms))
+    for b in range(2):
+        for t in range(4):
+            f, o = lip83_features_frame_host(lms[b, t])
+            np.testing.assert_allclose(
+                f, np.asarray(feats)[b, t], rtol=1e-5, atol=2e-6)
+            np.testing.assert_allclose(o, np.asarray(openness)[b, t],
+                                       rtol=1e-5, atol=2e-6)

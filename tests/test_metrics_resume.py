@@ -49,6 +49,15 @@ def test_train_resume_continues(tmp_path):
     lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     assert len(lines) == 2 and {l["step"] for l in lines} == {1, 2}
 
+    # the best-so-far bar resumed too: a post-resume epoch can only have
+    # improved on run 1's best, never regressed it (best_acc restarting at
+    # 0.0 would let a worse epoch overwrite the best checkpoint)
+    assert r2["best_acc"] >= r1["best_acc"]
+    from silent_speech_tpu.train.checkpoint import load_checkpoint
+
+    _, meta, _ = load_checkpoint(str(tmp_path / "m.ckpt"))
+    assert float(meta["best_val_acc"]) == r2["best_acc"]
+
 
 def test_orbax_checkpoint_roundtrip_matches_npz(tmp_path):
     """Both checkpoint backends round-trip identically (VERDICT r1 item 4)."""

@@ -78,12 +78,16 @@ def test_tp_dp_train_step_executes(cpu_mesh_devices, rng):
     p, os_, step = make_sharded_train_step(
         scfg, opt, mesh, params, tensor_parallel=True)
     X, lengths, roi, y = _batch(rng, 8)
+    # snapshot BEFORE stepping: the sharded step donates params/opt_state
+    # (the input buffers are dead after the call on donation-capable
+    # backends)
+    p_before = [np.asarray(a) for a in jax.tree.leaves(p)]
     p2, os2, m = step(p, os_, jax.random.PRNGKey(1), X, lengths, roi, y)
     assert np.isfinite(float(m["loss"]))
     # params actually changed
     delta = max(
-        float(jnp.abs(a - b).max())
-        for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p2))
+        float(np.abs(a - np.asarray(b)).max())
+        for a, b in zip(p_before, jax.tree.leaves(p2))
     )
     assert delta > 0
 

@@ -148,8 +148,10 @@ def test_pipeline_finish_reports_hung_worker(rng):
     import threading
 
     release = threading.Event()
+    entered = threading.Event()
 
     def sink(feat, roi, ts):
+        entered.set()
         release.wait(20)  # simulates a long device dispatch
 
     def source():
@@ -158,6 +160,10 @@ def test_pipeline_finish_reports_hung_worker(rng):
     pipe = LivePipeline(source(), sink, FramePacker(feat_dim=4), capacity=4)
     pipe.start()
     try:
+        # the scenario is a dispatch IN FLIGHT when the user quits — wait for
+        # the sink to be entered first (stop() before that would discard the
+        # frame instead, by design)
+        assert entered.wait(5)
         pipe.stop()
         stats = pipe.finish(timeout=0.2)
         assert stats["hung"] == ["consumer"]

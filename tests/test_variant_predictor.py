@@ -1,6 +1,7 @@
 """VariantPredictor: dispatch by model tag + legacy torch schema loaders."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 import torch
@@ -82,6 +83,27 @@ def test_temporal_cnn_torch_schema(tmp_path, rng):
     order = ref.argsort()[::-1]
     assert [w for w, _ in top] == [f"w{i}" for i in order[:3]]
     np.testing.assert_allclose([pr for _, pr in top], ref[order[:3]], atol=1e-3)
+
+
+def test_temporal_cnn_missing_label_map_fails_at_load(tmp_path):
+    """A TemporalCNN .pt without id_to_word must fail at LOAD time with the
+    re-save instruction — not KeyError mid-session at the first
+    prediction."""
+    import torch.nn as nn
+
+    class TorchTemporalCNN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.net = nn.Sequential(
+                nn.Conv1d(10, 8, 5, padding=2), nn.ReLU(),
+                nn.AdaptiveAvgPool1d(1))
+            self.head = nn.Linear(8, 3)
+
+    path = str(tmp_path / "word_model.pt")
+    torch.save({"model_state": TorchTemporalCNN().state_dict(),
+                "d_in": 10, "num_classes": 3}, path)
+    with pytest.raises(ValueError, match="id_to_word"):
+        VariantPredictor.from_torch_temporal_cnn(path)
 
 
 def test_load_predictor_routes_all_torch_schemas(tmp_path, rng):
