@@ -13,6 +13,8 @@ Commands:
     infer-live      manual-toggle live inference (live_infer_official.py)
     infer-gated     openness-gated auto-clip inference (inactive/live_lower_half.py)
     infer-stream    sliding-window streaming (inactive/live_feed.py)
+    predict         offline single-clip prediction (the live predict block
+                    on an already-recorded .npz; accepts a glob)
     eval-dataset    offline corpus sweep (inactive/dataset_eval.py)
     eval-ctc        dictionary-scored CTC corpus sweep
     landmarks-view  landmark index explorer (all_landmarks.py)
@@ -287,6 +289,40 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
                 pred.shard(mesh_from_shape(cfg.mesh_shape))
             evaluate_dataset(pred, cfg.clip_dir, batch_size=cfg.batch_size,
                              top_confusions=cfg.top_confusions)
+    elif cmd == "predict":
+        # offline single-clip prediction: the live predict block
+        # (live_infer_official.py:338-359) applied to an already-recorded
+        # .npz — reference users replay clips through the camera apps or a
+        # whole-corpus sweep; this is the direct path. Routes through
+        # load_predictor, so every checkpoint family (.ckpt and reference
+        # .pt generations) works.
+        import glob as _glob
+
+        import numpy as np
+
+        from ..core.config import serving_kwargs
+        from ..core.schema import load_clip
+        from ..infer import VariantPredictor, load_predictor
+        extras = _extras(kv, "ckpt_path", "clip", "k", "compute_dtype",
+                         "roi_impl", "gru_impl", "matmul_precision")
+        if "ckpt_path" not in extras or "clip" not in extras:
+            print("usage: predict ckpt_path=<path> clip=<clip.npz|glob> "
+                  "[k=3] [serving knobs]")
+            return 2
+        icfg = apply_overrides(
+            InferConfig(), [f"{k}={v}" for k, v in extras.items()
+                            if k in ("compute_dtype", "roi_impl", "gru_impl",
+                                     "matmul_precision")])
+        pred = load_predictor(extras["ckpt_path"], **serving_kwargs(icfg))
+        k = int(extras.get("k", 3))
+        paths = sorted(_glob.glob(extras["clip"])) or [extras["clip"]]
+        for p in paths:
+            c = load_clip(p)
+            if isinstance(pred, VariantPredictor):
+                top = pred.predict_features(c.X.astype(np.float32), k=k)
+            else:
+                top = pred.predict_clip(c, k=k)
+            print(f"{p}: {top}")
     elif cmd == "eval-ctc":
         from ..infer.evaluator import evaluate_ctc_dataset
         extras = _extras(kv, "ckpt_path", "clip_dir", "chunk_words")

@@ -694,6 +694,57 @@ def test_cli_sim_mode(tmp_path, capsys):
     assert len(os.listdir(out)) == 1
 
 
+def test_doctor_reports_wedged_backend(monkeypatch, capsys):
+    """A hung device relay must yield a bounded FAIL line with the host-only
+    workaround — not an in-process jax.devices() hang (the doctor is the
+    tool a user reaches for exactly when the backend is wedged)."""
+    from silent_speech_tpu.apps import doctor
+
+    monkeypatch.setattr(doctor, "_probe_backend", lambda t: None)
+    rc = doctor.run_doctor()
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "timed out" in out and "JAX_PLATFORMS=cpu" in out
+    # non-jax checks still ran
+    assert "native npz loader" in out
+
+
+def test_doctor_healthy_backend(capsys):
+    """With a live (CPU) backend the doctor passes end-to-end."""
+    from silent_speech_tpu.apps import doctor
+
+    rc = doctor.run_doctor()
+    out = capsys.readouterr().out
+    assert "jit smoke" in out and "mesh" in out
+    assert rc == 0 or "FAILURE" in out
+
+
+def test_cli_predict_single_clip(tmp_path, capsys):
+    """`predict ckpt_path=... clip=<npz|glob>` runs the live predict block
+    on already-recorded clips — the offline counterpart of infer-live's
+    clip predict, routed through load_predictor so every checkpoint family
+    works."""
+    ckpt = _save_ckpt(tmp_path, bias_word="hello")
+    out = tmp_path / "clips"
+    rc = cli.main(["record", f"out_dir={out}", "speaker=sim", "sim=30"])
+    assert rc == 0
+    clip = os.path.join(str(out), os.listdir(out)[0])
+
+    rc = cli.main(["predict", f"ckpt_path={ckpt}", f"clip={clip}", "k=2"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert line.startswith(clip + ":") and "hello" in line
+
+    # glob form sweeps every match
+    rc = cli.main(["predict", f"ckpt_path={ckpt}",
+                   f"clip={out}/*.npz"])
+    assert rc == 0
+    assert clip in capsys.readouterr().out
+
+    # missing args -> usage, not a traceback
+    assert cli.main(["predict", f"ckpt_path={ckpt}"]) == 2
+
+
 def test_cli_train_exposes_function_kwargs(monkeypatch, capsys):
     """`train resume_from=... metrics_path=...` reaches train() as function
     kwargs (they are not TrainConfig fields) — without the plumbing the
