@@ -85,4 +85,18 @@ def main():
 
 
 if __name__ == "__main__":
+    import sys
+
+    from __graft_entry__ import _backends_alive
+
+    if not _backends_alive():
+        # a wedged remote relay would hang the first device use forever —
+        # fail FAST and explained instead (no JSON line: a CPU fallback
+        # number would misrepresent the chip metric)
+        print(
+            "bench: backend init unresponsive (wedged device relay?) — "
+            "aborting rather than hanging; re-run when the relay is back",
+            file=sys.stderr,
+        )
+        sys.exit(1)
     main()
