@@ -341,10 +341,12 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
     elif cmd == "important-landmarks":
         from .important_landmarks import main as run
         extras = _extras(kv, "cam_index", "open_low", "open_high", "ema_alpha")
+        # reference defaults: 0.02 both ways, EMA 0.25
+        # (important_landmarks.py:57-61)
         run(cam_index=int(extras.get("cam_index", 0)),
-            open_low=float(extras.get("open_low", 0.035)),
-            open_high=float(extras.get("open_high", 0.055)),
-            ema_alpha=float(extras.get("ema_alpha", 0.3)), **mp)
+            open_low=float(extras.get("open_low", 0.02)),
+            open_high=float(extras.get("open_high", 0.02)),
+            ema_alpha=float(extras.get("ema_alpha", 0.25)), **mp)
     elif cmd == "infer-ctc":
         from .live import infer_ctc
         extras = _extras(kv, "ckpt_path", "cam_index", "chunk_words",

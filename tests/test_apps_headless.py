@@ -673,11 +673,32 @@ def test_viewer_apps_run(capsys):
     n = 10
     with sim_session(keys=[], n_frames=n, faces=face_track(n)) as (cv2f, _, _):
         landmarks_view.main()
-    assert "All landmarks" in cv2f.windows
+    assert "Face Dots Only" in cv2f.windows  # reference WINDOW_NAME
+    assert "FACE DETECTED" in cv2f.texts
     with sim_session(keys=[], n_frames=n, faces=face_track(n)) as (cv2f, _, _):
         important_landmarks.main()
-    assert "Important landmarks" in cv2f.windows
+    assert "Live Demonstration" in cv2f.windows  # reference WINDOW_NAME
     assert any("selected=" in t for t in cv2f.texts)
+    assert any(t.startswith("MOUTH:") for t in cv2f.texts)
+    assert any("LOWER FACE + CHEEK PREDICTION" == t for t in cv2f.texts)
+
+
+def test_important_landmarks_staged_prediction_keys():
+    """Number keys stage the demo prediction overlay with a random 0.6-0.9
+    confidence and a 2 s expiry (important_landmarks.py:188-242); ESC does
+    NOT trigger a staged word (the reference's `key in (27, 'N')` latent bug
+    is consciously not copied)."""
+    n = 12
+    keys = [-1] * n
+    keys[3] = ord("8")  # -> FAHHH
+    with sim_session(keys=keys, n_frames=n, faces=face_track(n)) as (cv2f, _, _):
+        important_landmarks.main()
+    preds = [t for t in cv2f.texts if t.startswith("PREDICTION:")]
+    assert any("FAHHH" in t for t in preds)
+    confs = [float(t.split()[-1]) for t in cv2f.texts if t.startswith("CONF:")]
+    assert any(0.6 <= c <= 0.9 for c in confs)
+    # before the key press the overlay shows the un-staged state
+    assert preds[0] == "PREDICTION: None"
 
 
 def test_cli_sim_mode(tmp_path, capsys):
