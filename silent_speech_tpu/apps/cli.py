@@ -234,7 +234,7 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
     elif cmd == "status":
         from .record_timed import print_progress_summary
         cfg = apply_overrides(RecorderConfig(), kv)
-        print_progress_summary(cfg.out_dir)
+        print_progress_summary(cfg.videos_dir, npz_fallback_dir=cfg.out_dir)
     elif cmd == "train":
         from ..train import train
         kw = _pop_kwargs(kv, "resume_from", "metrics_path", "profile_dir")

@@ -17,6 +17,10 @@ class RecorderConfig:
     """Official recorder settings (record_landmarks_official.py:5-25)."""
 
     out_dir: str = "clips_npz"
+    # labeled .mp4s from the timed recorder land here, separate from the
+    # npz clips (record_training_data.py:13-19); progress is counted by
+    # these videos, the reference's rule
+    videos_dir: str = "videos_labeled"
     speaker: str = "me"
     cam_index: int = 1
     roi_w: int = 96

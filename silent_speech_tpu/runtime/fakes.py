@@ -82,6 +82,12 @@ class FakeVideoWriter:
         self.path, self.fourcc, self.fps, self.size = path, fourcc, fps, size
         self.frames_written = 0
         self.released = False
+        try:
+            # real cv2.VideoWriter creates the file on open — the timed
+            # recorder's video-counting dashboard depends on that
+            open(path, "wb").close()
+        except OSError:
+            pass
 
     def write(self, frame):
         self.frames_written += 1

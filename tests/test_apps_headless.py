@@ -653,7 +653,9 @@ def test_record_timed_countdown_saves_npz_and_mp4(tmp_path, monkeypatch,
     monkeypatch.setattr(record_timed, "COUNTDOWN_S", 0.02)
     monkeypatch.setattr(record_timed, "RECORD_S", 0.25)
     out = tmp_path / "timed"
-    cfg = RecorderConfig(out_dir=str(out), speaker="sim", min_frames=5)
+    vids = tmp_path / "videos"
+    cfg = RecorderConfig(out_dir=str(out), videos_dir=str(vids),
+                         speaker="sim", min_frames=5)
     n = 200
     keys = _keys(n, space=2)
     with sim_session(keys=keys, n_frames=n,
@@ -664,9 +666,14 @@ def test_record_timed_countdown_saves_npz_and_mp4(tmp_path, monkeypatch,
     assert len(npz) == 1
     assert len(cv2f.writers) == 1
     vw = cv2f.writers[0]
-    assert vw.path.endswith(".mp4") and vw.frames_written >= 5 and vw.released
+    # the labeled video goes to the SEPARATE videos_dir under the
+    # reference's {word}_{id:03d}.mp4 convention (record_training_data.py)
+    assert vw.path == str(vids / "yes_001.mp4")
+    assert vw.frames_written >= 5 and vw.released
     outtext = capsys.readouterr().out
-    assert "saved" in outtext and "collection progress" in outtext
+    assert "Saved: yes_001" in outtext
+    assert "VIDEO COLLECTION PROGRESS" in outtext
+    assert "LIP READING TRAINING DATA RECORDER" in outtext
 
 
 def test_viewer_apps_run(capsys):
