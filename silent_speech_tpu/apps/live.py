@@ -52,6 +52,36 @@ def _overlay_top3(cv2, out, top3):
                     (0, 255, 0), 2)
 
 
+def _gated_overlay(cv2, out, open_val, speaking, top3, hold, conf_thresh,
+                   dropped=None):
+    """The reference gated-demo overlay stack (live_lower_half.py:231-308):
+    open= readout, tinted 'PRED:' banner while the hold counter runs
+    (green >= conf_thresh else red, alpha 0.18), SPEAKING/IDLE indicator,
+    'q to quit'. Returns the (possibly re-blended) frame."""
+    cv2.putText(out, f"open={open_val:.3f}", (20, 80),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.8, (255, 255, 255), 2)
+    if top3 and hold > 0:
+        word, conf = top3[0]
+        color = (0, 255, 0) if conf >= conf_thresh else (0, 0, 255)
+        overlay = out.copy()
+        cv2.rectangle(overlay, (0, 0), (out.shape[1], 60), color, -1)
+        out = cv2.addWeighted(overlay, 0.18, out, 0.82, 0)
+        cv2.putText(out, f"PRED: {word} ({conf:.2f})", (20, 42),
+                    cv2.FONT_HERSHEY_SIMPLEX, 1.1, (255, 255, 255), 2)
+    cv2.putText(out, "SPEAKING" if speaking else "IDLE", (20, 120),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.8,
+                (0, 255, 255) if speaking else (200, 200, 200), 2)
+    cv2.putText(out, "q to quit", (20, 160),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 255), 2)
+    if dropped is not None:
+        cv2.putText(out, f"drops={dropped}", (20, 190),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.6, (0, 165, 255), 2)
+    return out
+
+
+_GATED_WINDOW = "Live + Word Prediction (Clip Gated)"  # live_lower_half.py:16
+
+
 def _load_predictor(cfg: InferConfig):
     """Any checkpoint family — official or variant, .pt or ours
     (infer.predictor.load_predictor routing)."""
@@ -373,13 +403,20 @@ def _run_gated_sequential(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
                     last_top3, hold = res, stream_cfg.hold_frames
                     print("Top3:", last_top3)
             if face is None:
-                # face lost: reset the segmentation state and velocity chain
-                # so one clip can't splice two utterances together
-                # (live_lower_half.py:298-306)
+                # face lost: reset the segmentation state, velocity chain,
+                # and the prediction display so one clip can't splice two
+                # utterances together (live_lower_half.py:298-306)
                 gate.reset()
                 prev_xy = None
+                last_top3, hold = None, 0
+                cv2.putText(out, "NO FACE", (20, 40),
+                            cv2.FONT_HERSHEY_SIMPLEX, 1.0, (0, 0, 255), 2)
+                cv2.putText(out, "q to quit", (20, 160),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.7,
+                            (255, 255, 255), 2)
             else:
                 h, w = out.shape[:2]
+                draw_landmark_points(out, face, FIXED_IDXS)
                 feat, xy_n, center, mw = extract_features_frame(
                     face, w, h, prev_xy)
                 prev_xy = xy_n  # velocity chains as in training clips
@@ -387,9 +424,6 @@ def _run_gated_sequential(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
                 roi = (_roi_frame(frame, center, mw, predictor.cfg)
                        if predictor.cfg.use_roi else None)
                 ev = gate.push(float(openness), feat, roi)
-                state = "SPEAKING" if gate.speaking else "idle"
-                cv2.putText(out, f"open={openness:.3f} [{state}]", (20, 70),
-                            cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 0), 2)
                 if ev is not None and len(ev.frames) > cfg.min_frames:
                     if ap is not None:
                         ap.submit(ev.frames, ev.rois)
@@ -398,10 +432,11 @@ def _run_gated_sequential(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
                             ev.frames, ev.rois, k=3)
                         hold = stream_cfg.hold_frames
                         print("Top3:", last_top3)
-            if last_top3 is not None and hold > 0:
-                _overlay_top3(cv2, out, last_top3)
-                hold -= 1
-            cv2.imshow("Gated Infer", out)
+                out = _gated_overlay(cv2, out, float(openness), gate.speaking,
+                                     last_top3, hold, stream_cfg.conf_thresh)
+                if last_top3 is not None and hold > 0:
+                    hold -= 1
+            cv2.imshow(_GATED_WINDOW, out)
             if cv2.waitKey(1) & 0xFF in (27, ord("q")):
                 break
     finally:
@@ -437,8 +472,10 @@ def _run_threaded_ui(cv2, pipe, stop, lock, ui, draw, window,
             if new and snap["frame"] is not None:
                 last_seq = seq
                 out = snap["frame"].copy()
-                draw(out, snap, pipe.ring.dropped)
-                cv2.imshow(window, out)
+                # a draw may return a REPLACEMENT frame (the gated overlay's
+                # alpha-blended banner reallocates)
+                res = draw(out, snap, pipe.ring.dropped)
+                cv2.imshow(window, out if res is None else res)
             if cv2.waitKey(1) & 0xFF in (27, ord("q")):
                 stop.set()
                 pipe.stop()
@@ -581,6 +618,7 @@ def _run_gated_threaded(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
             gate.reset()
             with lock:
                 ui["speaking"] = False
+                ui["top3"], ui["hold"] = None, 0  # display resets too
             return
         if feat_ext[0] > 1.5:
             # latched gap flag: the 0.0 sentinel itself was dropped by a
@@ -597,13 +635,9 @@ def _run_gated_threaded(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
                 _publish(predictor.predict_arrays(ev.frames, ev.rois, k=3))
 
     def draw(out, snap, dropped):
-        state = "SPEAKING" if snap["speaking"] else "idle"
-        cv2.putText(out, f"open={snap['open']:.3f} [{state}]", (20, 70),
-                    cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 0), 2)
-        if snap["top3"] is not None and snap["hold"] > 0:
-            _overlay_top3(cv2, out, snap["top3"])
-        cv2.putText(out, f"drops={dropped}", (20, 100),
-                    cv2.FONT_HERSHEY_SIMPLEX, 0.6, (0, 165, 255), 2)
+        return _gated_overlay(cv2, out, float(snap["open"]),
+                              snap["speaking"], snap["top3"], snap["hold"],
+                              stream_cfg.conf_thresh, dropped=dropped)
 
     def on_new_frame(u):
         # per-camera-frame hold countdown, matching _run_gated_sequential
@@ -614,7 +648,7 @@ def _run_gated_threaded(cv2, cam, lm, predictor, gate, cfg, stream_cfg):
                         capacity=stream_cfg.ring_capacity)
     pipe.start()
     try:
-        _run_threaded_ui(cv2, pipe, stop, lock, ui, draw, "Gated Infer",
+        _run_threaded_ui(cv2, pipe, stop, lock, ui, draw, _GATED_WINDOW,
                          on_new_frame)
     finally:
         if ap is not None:
@@ -952,6 +986,14 @@ def _run_stream_threaded(cv2, cam, lm, frame_fn, push_fn, front_lost_fn,
     _run_threaded_ui(cv2, pipe, stop, lock, ui, draw, "live")
 
 
+def _print_ctc_prediction(ranked):
+    """Reference console line (facial_landmark_detection.py:387-391)."""
+    if not ranked:
+        print("No prediction.")
+    else:
+        print("Prediction:", ranked[0][0], "Top3:", ranked[:3])
+
+
 def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",
               cam_index: int = 0, chunk_words: int = 0,
               predict_async: bool = False):
@@ -963,18 +1005,22 @@ def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",
     import cv2
     import jax
 
-    from ..infer.ctc_decode import CTCDecoder, Dictionary
+    from ..infer.ctc_decode import CTCDecoder, Dictionary, trim_silence
     from ..train.checkpoint import load_checkpoint
 
     params, meta, _ = load_checkpoint(ckpt_path)
     params = jax.tree.map(jnp.asarray, params)
     dictionary = Dictionary.from_words(list(meta["uniq_labels"]))
+    max_t = int(meta["max_t"])
+    len_lambda = float(meta.get("len_lambda", 0.02))
+    exp_len = int(meta.get("exp_len", 5))
     dec = CTCDecoder(
-        params, dictionary, max_t=int(meta["max_t"]),
-        len_lambda=float(meta.get("len_lambda", 0.02)),
-        len_per_char=int(meta.get("exp_len", 5)),
-        chunk_words=chunk_words,
+        params, dictionary, max_t=max_t, len_lambda=len_lambda,
+        len_per_char=exp_len, chunk_words=chunk_words,
     )
+    # reference startup lines (facial_landmark_detection.py:290-291)
+    print("Loaded ROI+CTC model. max_t =", max_t, "len_lambda =", len_lambda)
+    print("exp_len:", exp_len)
     roi_cfg = InferConfig()
     lm = FaceLandmarkerSession(model_path, video_mode=True)
     try:
@@ -993,21 +1039,30 @@ def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",
                 res = ap.poll_overlay(cv2, out, "Scoring...")
                 if res is not None:
                     last = res
-                    print("ranked:", last[:5])
+                    _print_ctc_prediction(last)
             if face is not None and recording:
                 h, w = out.shape[:2]
                 feat, xy_n, center, mw = extract_features_frame(face, w, h, prev_xy)
                 prev_xy = xy_n
                 bufX.append(feat)
                 bufR.append(_roi_frame(frame, center, mw, roi_cfg))
-            cv2.putText(out, f"{'REC' if recording else 'IDLE'} | r toggle | q quit",
-                        (20, 40), cv2.FONT_HERSHEY_SIMPLEX, 0.9, (255, 255, 255), 2)
-            if last is not None:
-                for i, (word, score) in enumerate(last[:3]):
-                    cv2.putText(out, f"{i + 1}) {word} {score:.1f}",
-                                (20, 110 + 28 * i), cv2.FONT_HERSHEY_SIMPLEX,
-                                0.7, (0, 255, 0), 2)
-            cv2.imshow("CTC Infer", out)
+            # overlay contract: facial_landmark_detection.py:338-354
+            cv2.putText(out, f"{'REC' if recording else 'IDLE'} "
+                        "| r start/stop | q quit",
+                        (20, 40), cv2.FONT_HERSHEY_SIMPLEX, 0.9,
+                        (0, 255, 0), 2)
+            if recording:
+                cv2.putText(out, f"frames: {len(bufX)}", (20, 75),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.8, (0, 255, 0), 2)
+            if last:
+                cv2.putText(out, f"Best: {last[0][0]}", (20, 110),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.9, (0, 255, 0), 2)
+                for k, (lab, score) in enumerate(last[:3]):
+                    cv2.putText(out, f"{k + 1}) {lab}  {score:.1f}",
+                                (20, 110 + 30 * (k + 1)),
+                                cv2.FONT_HERSHEY_SIMPLEX, 0.8,
+                                (0, 255, 0), 2)
+            cv2.imshow("Lips Only", out)
             key = cv2.waitKey(1) & 0xFF
             if key in (27, ord("q")):
                 break
@@ -1017,18 +1072,27 @@ def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",
                     bufX, bufR, prev_xy, last = [], [], None, None
                     if ap is not None:
                         ap.invalidate()  # no stale sweep over the new clip
-                elif len(bufX) >= 5:
+                else:
+                    print(f"Recording stopped. frames={len(bufX)}. "
+                          "Predicting...")
+                    if len(bufX) < 5:
+                        print("Clip too short / no ROI.")
+                        continue
+                    X, R = np.stack(bufX), np.stack(bufR)
+                    Xt, _ = trim_silence(X.astype(np.float32), R,
+                                         **dec.trim_kw)
+                    print("raw T", len(bufX), "trimmed T", Xt.shape[0])
                     if ap is not None:
-                        ap.submit(np.stack(bufX), np.stack(bufR))
+                        ap.submit(X, R)
                     else:
-                        last = dec.score_clip(np.stack(bufX), np.stack(bufR))
-                        print("ranked:", last[:5])
+                        last = dec.score_clip(X, R)
+                        _print_ctc_prediction(last)
     finally:
         try:
             if ap is not None:
                 res = ap.shutdown("dictionary sweep")
                 if res is not None:
-                    print("ranked:", res[:5])
+                    _print_ctc_prediction(res)
         finally:
             cam.release()
             lm.close()

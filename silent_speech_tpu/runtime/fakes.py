@@ -150,6 +150,10 @@ class FakeCV2:
             return (img.astype(np.float32) @ w).astype(np.uint8)
         return img
 
+    def addWeighted(self, a, alpha, b, beta, gamma):
+        out = a.astype(np.float32) * alpha + b.astype(np.float32) * beta + gamma
+        return np.clip(out, 0, 255).astype(np.uint8)
+
     def VideoWriter_fourcc(self, *chars):
         return 0
 

@@ -290,6 +290,25 @@ def test_threaded_gated_bitwise_equals_sequential(tmp_path, predict_spy):
         np.testing.assert_array_equal(ra, rb)
 
 
+def test_infer_gated_reference_overlay(tmp_path, predict_spy):
+    """The gated app draws the reference demo's overlay stack
+    (live_lower_half.py:231-308): open= readout, the PRED: banner while the
+    hold counter runs, SPEAKING/IDLE, 'q to quit', the reference window
+    name, and NO FACE with a display reset on face loss."""
+    ckpt = _save_ckpt(tmp_path, bias_word="hello")
+    n = 50
+    open_seq = [6.0] * 8 + [20.0] * 15 + [6.0] * (n - 23)
+    faces = face_track(n, open_seq=open_seq)
+    faces[40] = None
+    with sim_session(keys=[], n_frames=n, faces=faces) as (cv2f, _, _):
+        live.infer_gated(InferConfig(ckpt_path=ckpt), StreamConfig())
+    assert "Live + Word Prediction (Clip Gated)" in cv2f.windows
+    assert any(t.startswith("open=") for t in cv2f.texts)
+    assert any(t.startswith("PRED: hello (") for t in cv2f.texts)
+    assert "SPEAKING" in cv2f.texts and "IDLE" in cv2f.texts
+    assert "q to quit" in cv2f.texts and "NO FACE" in cv2f.texts
+
+
 def test_infer_gated_predict_async(tmp_path, predict_spy, capsys):
     """predict_async=true on the gated app (sequential): the clip predict
     runs off the camera loop — the InferConfig knob must be honored here,
@@ -605,14 +624,19 @@ def test_infer_ctc_loop(tmp_path, capsys):
     with sim_session(keys=_keys(n, r=(2, 20)), n_frames=n,
                      faces=face_track(n)):
         live.infer_ctc(ckpt)
-    assert "ranked:" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    # reference console contract (facial_landmark_detection.py:290,371-391)
+    assert "Loaded ROI+CTC model. max_t =" in out
+    assert "Recording stopped. frames=" in out
+    assert "raw T" in out and "trimmed T" in out
+    assert "Prediction:" in out and "Top3:" in out
 
     # async scoring: camera keeps rolling during the dictionary sweep; the
     # result lands during the run or via the exit drain
     with sim_session(keys=_keys(n, r=(2, 20)), n_frames=n,
                      faces=face_track(n)):
         live.infer_ctc(ckpt, predict_async=True)
-    assert "ranked:" in capsys.readouterr().out
+    assert "Prediction:" in capsys.readouterr().out
 
 
 def test_record_saves_reference_schema_clip(tmp_path, capsys):
