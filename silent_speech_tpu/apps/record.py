@@ -64,10 +64,16 @@ def main(cfg: RecorderConfig = RecorderConfig(), model_path: str = "models/face_
     dynamic = cfg.idxs_mode == "dynamic"
     sel_idxs = None  # dynamic selection locks on the first in-range frame
 
+    sm_center = sm_mw = None  # EMA-stabilized ROI center/scale (v2 mode)
     try:
         for frame, ts in cam.frames():
             face = lm.detect(frame, ts)
             out = frame.copy()
+            if face is None and roi_ema is not None:
+                # v2 semantics: the stabilizer resets on face loss
+                # (record_landmarks_v2.py:245-247)
+                roi_ema.state = None
+                sm_center = sm_mw = None
             if face is not None:
                 h, w = frame.shape[:2]
                 if dynamic:
@@ -87,15 +93,20 @@ def main(cfg: RecorderConfig = RecorderConfig(), model_path: str = "models/face_
                     feat, xy_n, center, mw = extract_features_frame(
                         face, w, h, prev_xy)
                     in_range = cfg.mouth_w_min_px <= mw <= cfg.mouth_w_max_px
+                if roi_ema is not None and center is not None:
+                    # v2 semantics: the EMA updates on EVERY detected frame
+                    # ("even if not recording, so it settles",
+                    # record_landmarks_v2.py:231-232) — not just mid-clip
+                    sm = roi_ema.update([center[0], center[1], mw])
+                    sm_center, sm_mw = sm[:2], float(sm[2])
                 if recording and in_range and feat is not None:
                     prev_xy = xy_n
                     bufX.append(feat)
                     bufT.append(ts)
                     if cfg.save_roi:
-                        if roi_ema is not None:
-                            sm = roi_ema.update([center[0], center[1], mw])
-                            center, mw = sm[:2], float(sm[2])
-                        roi = _crop_roi_host(frame, center, mw, cfg, "linear")
+                        c, s = ((sm_center, sm_mw) if sm_center is not None
+                                else (center, mw))
+                        roi = _crop_roi_host(frame, c, s, cfg, "linear")
                         if roi is not None:
                             bufR.append(roi)
                 else:
@@ -112,6 +123,15 @@ def main(cfg: RecorderConfig = RecorderConfig(), model_path: str = "models/face_
             cv2.putText(out, f"{'REC' if recording else 'IDLE'} | {label}",
                         (20, 40), cv2.FONT_HERSHEY_SIMPLEX, 0.9,
                         (255, 255, 255), 2)
+            if cfg.save_roi and sm_center is not None:
+                # stabilized ROI preview, top-right corner
+                # (record_landmarks_v2.py:274-281)
+                preview = _crop_roi_host(frame, sm_center, sm_mw, cfg,
+                                         "linear")
+                if preview is not None:
+                    ph, pw = preview.shape[:2]
+                    x0, y0 = out.shape[1] - pw - 20, 20
+                    out[y0:y0 + ph, x0:x0 + pw] = preview[..., None]
             cv2.imshow("Recorder", out)
             key = cv2.waitKey(1) & 0xFF
             if key in (27, ord("q")):

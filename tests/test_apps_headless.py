@@ -672,6 +672,37 @@ def test_record_dynamic_mode_locks_selection(tmp_path):
     assert clip.X.shape[1] == 2 * len(clip.idxs) + 1
 
 
+def test_record_v2_ema_settles_before_recording(tmp_path):
+    """roi_ema mode (recorder v2): the center/scale EMA updates on EVERY
+    detected frame so it settles BEFORE recording starts, resets on face
+    loss (record_landmarks_v2.py:231-232,245-247), and the saved clip's ROI
+    uses the stabilized values."""
+    from silent_speech_tpu.core.landmark_select import EMA
+
+    out = tmp_path / "clips"
+    cfg = RecorderConfig(out_dir=str(out), speaker="sim", min_frames=5,
+                         roi_ema_alpha=0.3)
+    n = 30
+    updates = []
+    orig = EMA.update
+
+    def spy(self, value):
+        updates.append(np.asarray(value, np.float64))
+        return orig(self, value)
+
+    faces = face_track(n)
+    faces[1] = None  # face loss before recording: stabilizer resets
+    with sim_session(keys=_keys(n, r=(10, 25)), n_frames=n, faces=faces):
+        import unittest.mock as mock
+
+        with mock.patch.object(EMA, "update", spy):
+            record.main(cfg)
+    # EMA updated on (nearly) every detected frame, not only the ~14
+    # recorded ones: 28 detected frames after the face-loss reset
+    assert len(updates) >= n - 5
+    assert len(os.listdir(out)) == 1
+
+
 def test_record_timed_countdown_saves_npz_and_mp4(tmp_path, monkeypatch,
                                                   capsys):
     monkeypatch.setattr(record_timed, "COUNTDOWN_S", 0.02)
