@@ -91,19 +91,27 @@ class ReducedConfig:
 
 
 def train_reduced(cfg: ReducedConfig = ReducedConfig(), verbose=True) -> dict:
+    from collections import Counter
+
     index = scan_corpus(cfg.clip_dir, verbose=False)
     keep = [i for i, l in enumerate(index.labels) if l in cfg.words]
     files = [index.files[i] for i in keep]
     labels = [index.labels[i] for i in keep]
+    # console contract: inactive/train_reduced.py:158-189
     if verbose:
         print(f"Using {len(files)} clips from {len(set(labels))} words")
+        print("Distribution:", dict(Counter(labels)))
     label_to_id, id_to_label = build_label_maps(labels)
     tr_files, va_files = split_by_label(files, labels, cfg.val_frac,
-                                        seed=cfg.seed, verbose=verbose)
+                                        seed=cfg.seed, verbose=False)
+    if verbose:
+        print(f"Train: {len(tr_files)}, Val: {len(va_files)}")
     Xtr, Ltr, ytr = _load_padded(tr_files, label_to_id, cfg.max_t)
     Xva, _, yva = _load_padded(va_files, label_to_id, cfg.max_t)
     d_in = Xtr.shape[-1]
     num_classes = len(label_to_id)
+    if verbose:
+        print(f"Input dim: {d_in}")
 
     key = jax.random.PRNGKey(cfg.seed)
     key, k0 = jax.random.split(key)
@@ -124,7 +132,12 @@ def train_reduced(cfg: ReducedConfig = ReducedConfig(), verbose=True) -> dict:
         # 'fix' this to a masked pool, it would break checkpoint parity
         del lengths, rng
         logits = V.reduced_bigru_forward(params, X)
-        return jnp.mean(optax.softmax_cross_entropy(logits, y_soft))
+        loss = jnp.mean(optax.softmax_cross_entropy(logits, y_soft))
+        # batch train accuracy vs the (mixup-dominant) labels — feeds the
+        # reference's per-epoch 'train' column (train_reduced.py:245)
+        acc = jnp.mean((jnp.argmax(logits, -1)
+                        == jnp.argmax(y_soft, -1)).astype(jnp.float32))
+        return loss, acc
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, rng, X, lengths, y):
@@ -133,9 +146,10 @@ def train_reduced(cfg: ReducedConfig = ReducedConfig(), verbose=True) -> dict:
         y_soft = jax.nn.one_hot(y, num_classes)
         if cfg.use_mixup:
             X, y_soft = mixup(mix_rng, X, y_soft, cfg.mixup_alpha)
-        loss, grads = jax.value_and_grad(loss_fn)(params, X, lengths, y_soft, rng)
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, X, lengths, y_soft, rng)
         updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, rng, loss
+        return optax.apply_updates(params, updates), opt_state, rng, loss, acc
 
     fwd = jax.jit(V.reduced_bigru_forward)
     sampler = np.random.default_rng(cfg.seed)
@@ -153,25 +167,33 @@ def train_reduced(cfg: ReducedConfig = ReducedConfig(), verbose=True) -> dict:
                 id_to_label={str(k): v for k, v in id_to_label.items()},
                 seed=cfg.seed, model="reduced_bigru", hidden=cfg.hidden)
     history = []
+    import os as _os
+
+    out_name = _os.path.basename(cfg.out_path)
     for ep in range(1, cfg.epochs + 1):
         order = sampler.permutation(len(Xtr))
-        ep_loss, nb = 0.0, 0
+        ep_loss, ep_acc, nb = 0.0, 0.0, 0
         for s in range(0, len(Xtr), cfg.batch_size):
             idx = order[s:s + cfg.batch_size]
-            params, opt_state, key, loss = step(
+            params, opt_state, key, loss, tr_acc = step(
                 params, opt_state, key, jnp.asarray(Xtr[idx]),
                 jnp.asarray(Ltr[idx]), jnp.asarray(ytr[idx]))
             ep_loss += float(loss)
+            ep_acc += float(tr_acc)
             nb += 1
         acc = _epoch_eval(fwd, params, Xva, yva)
         history.append(dict(epoch=ep, loss=ep_loss / max(1, nb), val_acc=acc))
-        if verbose and (ep % 10 == 0 or ep == 1):
-            print(f"ep {ep:03d} | loss {ep_loss / max(1, nb):.4f} | "
-                  f"val {acc:.3f} | lr {lr_now:.2e}")
+        if verbose:
+            # per-epoch console contract (train_reduced.py:245)
+            print(f"ep {ep:02d} | loss {ep_loss / max(1, nb):.4f} | "
+                  f"train {ep_acc / max(1, nb):.3f} | val {acc:.3f} | "
+                  f"lr {lr_now:.5f}")
         if acc > best:
             best, bad_stop = acc, 0
             best_params = jax.tree.map(np.asarray, params)
             save_checkpoint(cfg.out_path, best_params, meta)
+            if verbose:
+                print(f"  saved {out_name} (best)")
         else:
             bad_stop += 1
             if bad_stop >= cfg.early_stop_patience:
@@ -188,6 +210,10 @@ def train_reduced(cfg: ReducedConfig = ReducedConfig(), verbose=True) -> dict:
                 lr_now *= cfg.plateau_factor
                 opt_state.hyperparams["learning_rate"] = jnp.asarray(lr_now)
                 bad_plateau = 0
+    if verbose:
+        # final console contract (train_reduced.py:265-266)
+        print(f"\nBest validation accuracy: {best:.3f}")
+        print(f"Random baseline: {1 / num_classes:.3f}")
     return dict(best_acc=best, params=best_params, meta=meta, history=history)
 
 
@@ -262,9 +288,16 @@ def _unigru_preprocess(files, cfg: UniGRUConfig, d_target, label_to_id):
 
 
 def train_unigru(cfg: UniGRUConfig = UniGRUConfig(), verbose=True) -> dict:
+    from collections import Counter
+
     index = scan_corpus(cfg.clip_dir, verbose=False)
     label_to_id, id_to_label = build_label_maps(index.labels)
     d_target = max(index.dims)
+    # console contract: inactive/train_model_1130pm.py:162-171
+    if verbose:
+        print("Words:", sorted(label_to_id))
+        print("Counts:", Counter(index.labels))
+        print("Using d_target =", d_target)
     rng_py = np.random.default_rng(cfg.seed)
     order = rng_py.permutation(len(index.files))
     n_train = int(cfg.train_frac * len(order))
@@ -286,14 +319,17 @@ def train_unigru(cfg: UniGRUConfig = UniGRUConfig(), verbose=True) -> dict:
     def loss_fn(params, X, y, rng):
         logits = V.unigru_classifier_forward(params, X, train=True, rng=rng)
         onehot = jax.nn.one_hot(y, num_classes)
-        return jnp.mean(optax.softmax_cross_entropy(logits, onehot))
+        loss = jnp.mean(optax.softmax_cross_entropy(logits, onehot))
+        acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
+        return loss, acc
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, rng, X, y):
         rng, sub = jax.random.split(rng)
-        loss, grads = jax.value_and_grad(loss_fn)(params, X, y, sub)
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, X, y, sub)
         updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, rng, loss
+        return optax.apply_updates(params, updates), opt_state, rng, loss, acc
 
     fwd = jax.jit(lambda p, X: V.unigru_classifier_forward(p, X))
     best, best_params = 0.0, jax.tree.map(np.asarray, params)
@@ -309,22 +345,29 @@ def train_unigru(cfg: UniGRUConfig = UniGRUConfig(), verbose=True) -> dict:
     sampler = np.random.default_rng(cfg.seed)
     for ep in range(1, cfg.epochs + 1):
         order = sampler.permutation(len(Xtr))
-        ep_loss, nb = 0.0, 0
+        ep_loss, ep_acc, nb = 0.0, 0.0, 0
         for s in range(0, len(Xtr), cfg.batch_size):
             idx = order[s:s + cfg.batch_size]
-            params, opt_state, key, loss = step(
+            params, opt_state, key, loss, tr_acc = step(
                 params, opt_state, key, jnp.asarray(Xtr[idx]),
                 jnp.asarray(ytr[idx]))
             ep_loss += float(loss)
+            ep_acc += float(tr_acc)
             nb += 1
         acc = _epoch_eval(fwd, params, Xva, yva)
         history.append(dict(epoch=ep, loss=ep_loss / max(1, nb), val_acc=acc))
-        if verbose and ep % 10 == 0:
-            print(f"ep {ep:03d} | loss {ep_loss / max(1, nb):.4f} | val {acc:.3f}")
+        if verbose:
+            # per-epoch console contract (train_model_1130pm.py:227)
+            print(f"ep {ep:03d} | loss {ep_loss / max(1, nb):.4f} | "
+                  f"train {ep_acc / max(1, nb):.3f} | val {acc:.3f}")
         if acc > best:
             best = acc
             best_params = jax.tree.map(np.asarray, params)
             save_checkpoint(cfg.out_path, best_params, meta)
+            if verbose:
+                print(f"  saved {cfg.out_path} (best val {best:.3f})")
+    if verbose:
+        print("best val:", best)
     return dict(best_acc=best, params=best_params, meta=meta, history=history)
 
 
@@ -345,11 +388,22 @@ class MLPQuickConfig:
 
 
 def train_mlp_quick(cfg: MLPQuickConfig = MLPQuickConfig(), verbose=True) -> dict:
+    from collections import Counter
+
     index = scan_corpus(cfg.clip_dir, verbose=False)
     label_to_id, id_to_label = build_label_maps(index.labels)
+    # console contract: inactive/train_5_quick.py:64-66,98
+    if verbose:
+        by_label = Counter(index.labels)
+        print("Label counts:")
+        for l in sorted(by_label):
+            print(f"  {l:7s}: {by_label[l]}")
     tr_f, va_f, te_f = stratified_split_3way(
         index.files, index.labels, seed=cfg.seed,
         train_frac=cfg.train_frac, val_frac=cfg.val_frac)
+    if verbose:
+        print(f"Split sizes: train={len(tr_f)} val={len(va_f)} "
+              f"test={len(te_f)}")
 
     def to_feats(files):
         feats, ys = [], []
@@ -394,18 +448,27 @@ def train_mlp_quick(cfg: MLPQuickConfig = MLPQuickConfig(), verbose=True) -> dic
     sampler = np.random.default_rng(cfg.seed)
     for ep in range(1, cfg.epochs + 1):
         order = sampler.permutation(len(Xtr))
+        ep_loss, nb = 0.0, 0
         for s in range(0, len(Xtr), cfg.batch_size):
             idx = order[s:s + cfg.batch_size]
-            params, opt_state, key, _ = step(
+            params, opt_state, key, loss = step(
                 params, opt_state, key, jnp.asarray(Xtr[idx]),
                 jnp.asarray(ytr[idx]))
+            ep_loss += float(loss)
+            nb += 1
         acc = _epoch_eval(fwd, params, Xva, yva)
+        if verbose:
+            # per-epoch console contract (train_5_quick.py:129)
+            print(f"ep {ep:02d} | train loss {ep_loss / max(1, nb):.4f} | "
+                  f"val acc {acc:.3f}")
         if acc > best:
             best = acc
             best_params = jax.tree.map(np.asarray, params)
             save_checkpoint(cfg.out_path, best_params, meta)
+            if verbose:
+                print(f"  saved {cfg.out_path} (best so far)")
     # final held-out TEST evaluation with the best checkpoint
     test_acc = _epoch_eval(fwd, best_params, Xte, yte)
     if verbose:
-        print(f"best val acc: {best:.3f} | TEST acc: {test_acc:.3f}")
+        print(f"TEST acc: {test_acc:.3f}")
     return dict(best_acc=best, test_acc=test_acc, params=best_params, meta=meta)
