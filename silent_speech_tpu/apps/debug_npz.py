@@ -1,5 +1,8 @@
 """npz corpus debugger (mirrors inactive/debug.py): diagnoses dataset-dir
-typos and prints the keys/shapes of the first clip found."""
+typos and prints the keys/shapes of the first clip of every candidate
+directory, reference output format. One conscious change: clips load with
+allow_pickle=False (the reference's allow_pickle=True would execute code
+from a malicious object array at load time)."""
 
 from __future__ import annotations
 
@@ -8,27 +11,35 @@ import os
 
 import numpy as np
 
-CANDIDATE_DIRS = ["clips_npz", "clipes_npz", "clip_npz", "clips"]
+# the reference's typo candidates (inactive/debug.py:5-10) plus the param dir
+CANDIDATE_DIRS = ["clipes_npz", "clips_npz", "./clipes_npz", "./clips_npz"]
 
 
-def try_dir(d: str) -> bool:
+def try_dir(d: str) -> int:
     paths = sorted(glob.glob(os.path.join(d, "*.npz")))
-    print(f"{d}: {len(paths)} npz files")
-    if not paths:
-        return False
-    with np.load(paths[0], allow_pickle=False) as z:
-        print(" first:", os.path.basename(paths[0]))
-        for k in z.files:
-            v = z[k]
-            shape = getattr(v, "shape", ())
-            print(f"   {k}: shape={shape} dtype={getattr(v, 'dtype', type(v))}")
-    return True
+    print(f"\nDIR='{d}' -> {len(paths)} npz files")
+    if paths:
+        print("  first 5:", [os.path.basename(p) for p in paths[:5]])
+        with np.load(paths[0], allow_pickle=False) as z:
+            keys = list(z.keys())
+            print("  loaded sample OK. keys:", keys)
+            if "X" in z:
+                print("  X shape:", z["X"].shape, "dtype:", z["X"].dtype)
+            if "label" in z:
+                print("  label:", str(z["label"]))
+    return len(paths)
 
 
-def main(clip_dir: str = "clips_npz"):
-    dirs = [clip_dir] + [d for d in CANDIDATE_DIRS if d != clip_dir]
+def main(clip_dir: str = "clips_npz") -> int:
+    print("CWD:", os.getcwd())
+    print("Directory listing (top):",
+          [x for x in os.listdir(".") if not x.startswith(".")][:30])
+    dirs = list(dict.fromkeys([clip_dir] + CANDIDATE_DIRS))
+    total = 0
     for d in dirs:
-        if try_dir(d):
-            return 0
-    print("no clips found in any candidate directory")
-    return 1
+        if os.path.isdir(d):
+            total += try_dir(d)
+        else:
+            print(f"\nDIR='{d}' does not exist")
+    print("\nTotal found across candidates:", total)
+    return 0 if total else 1
