@@ -19,8 +19,6 @@ semantics implemented here.)
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -12,8 +12,6 @@ motivate a TPU never has to fit in host RAM at once.
 from __future__ import annotations
 
 from collections import Counter
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 
