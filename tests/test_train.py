@@ -115,6 +115,71 @@ def test_one_step_training_parity():
                                atol=1e-5)
 
 
+def test_multi_step_training_parity():
+    """FOUR consecutive official train steps on distinct batches must track
+    torch parameter-for-parameter (<= 5e-4) — beyond the one-step test this
+    pins the OPTIMIZER-STATE evolution: Adam first/second-moment
+    accumulation and per-step bias correction across t=1..4, and the
+    clip-then-step interaction (train_model_official.py:426-439)."""
+    import torch
+
+    from silent_speech_tpu.core.torch_import import import_bigru_classifier
+    from silent_speech_tpu.train.step import (
+        StepConfig,
+        make_batch_train_step,
+    )
+    from tests.test_model_parity import _TorchBiGRUClassifier
+
+    torch.manual_seed(3)
+    tm = _TorchBiGRUClassifier(180, 10, True, standardize_roi=True)
+    tm.eval()
+    sd0 = {k: v.clone() for k, v in tm.state_dict().items()}
+
+    rng = np.random.default_rng(9)
+    B, T, STEPS = 8, 16, 4
+    batches = []
+    for _ in range(STEPS):
+        X = rng.standard_normal((B, T, 180)).astype(np.float32)
+        R = rng.integers(0, 256, (B, T, 48, 96), dtype=np.uint8)
+        L = rng.integers(6, T + 1, size=B).astype(np.int64)
+        y = rng.integers(0, 10, size=B).astype(np.int64)
+        batches.append((X, L, R, y))
+
+    opt_t = torch.optim.Adam(tm.parameters(), lr=3e-4)
+    crit = torch.nn.CrossEntropyLoss(label_smoothing=0.05)
+    t_losses = []
+    for X, L, R, y in batches:
+        logits = tm(torch.from_numpy(X), torch.from_numpy(L),
+                    torch.from_numpy(R))
+        loss = crit(logits, torch.from_numpy(y))
+        opt_t.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(tm.parameters(), 1.0)
+        opt_t.step()
+        t_losses.append(float(loss.item()))
+
+    mcfg = model.BiGRUConfig(x_dim=180, num_classes=10, use_roi=True,
+                             gru_dropout=0.0, head_dropout=0.0)
+    params = jax.tree.map(jnp.asarray, import_bigru_classifier(sd0))
+    opt_j = make_optimizer(3e-4)
+    scfg = StepConfig(model=mcfg, label_smoothing=0.05, augment=None)
+    step = make_batch_train_step(scfg, opt_j)
+    opt_state = opt_j.init(params)
+    key = jax.random.PRNGKey(0)
+    for i, (X, L, R, y) in enumerate(batches):
+        params, opt_state, key, m = step(
+            params, opt_state, key, jnp.asarray(X),
+            jnp.asarray(L.astype(np.int32)), jnp.asarray(R),
+            jnp.asarray(y.astype(np.int32)))
+        np.testing.assert_allclose(float(m["loss"]), t_losses[i], atol=3e-4)
+
+    post_t = import_bigru_classifier(tm.state_dict())
+    perr = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - jnp.asarray(b)))),
+        params, post_t)))
+    assert perr <= 5e-4, f"4-step param drift {perr:.2e} vs torch"
+
+
 def test_train_overfits_synthetic_corpus(tmp_path):
     corpus = tmp_path / "clips_npz"
     generate_corpus(str(corpus), clips_per_word=6,
