@@ -309,20 +309,49 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
             print("usage: predict ckpt_path=<path> clip=<clip.npz|glob> "
                   "[k=3] [serving knobs]")
             return 2
-        icfg = apply_overrides(
-            InferConfig(), [f"{k}={v}" for k, v in extras.items()
-                            if k in ("compute_dtype", "roi_impl", "gru_impl",
-                                     "matmul_precision")])
-        pred = load_predictor(extras["ckpt_path"], **serving_kwargs(icfg))
         k = int(extras.get("k", 3))
         paths = sorted(_glob.glob(extras["clip"])) or [extras["clip"]]
-        for p in paths:
-            c = load_clip(p)
-            if isinstance(pred, VariantPredictor):
-                top = pred.predict_features(c.X.astype(np.float32), k=k)
-            else:
-                top = pred.predict_clip(c, k=k)
-            print(f"{p}: {top}")
+        ckpt_path = extras["ckpt_path"]
+        is_ctc = False
+        if not ckpt_path.endswith(".pt"):
+            from ..train.checkpoint import load_checkpoint
+            is_ctc = bool(load_checkpoint(ckpt_path)[1].get("vocab"))
+        if is_ctc:
+            # dictionary-scored CTC route (the offline counterpart of
+            # infer-ctc's predict block)
+            from ..infer.ctc_decode import CTCDecoder, Dictionary
+            from ..train.checkpoint import load_checkpoint
+
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            params, meta, _ = load_checkpoint(ckpt_path)
+            params = _jax.tree.map(_jnp.asarray, params)
+            dec = CTCDecoder(
+                params, Dictionary.from_words(list(meta["uniq_labels"])),
+                max_t=int(meta["max_t"]),
+                len_lambda=float(meta.get("len_lambda", 0.02)),
+                len_per_char=int(meta.get("exp_len", 5)),
+            )
+            for p in paths:
+                c = load_clip(p).aligned()
+                if c.roi is None:
+                    print(f"{p}: no roi in clip — CTC scoring needs it")
+                    continue
+                print(f"{p}: {dec.score_clip(c.X, c.roi)[:k]}")
+        else:
+            icfg = apply_overrides(
+                InferConfig(), [f"{kk}={v}" for kk, v in extras.items()
+                                if kk in ("compute_dtype", "roi_impl",
+                                          "gru_impl", "matmul_precision")])
+            pred = load_predictor(ckpt_path, **serving_kwargs(icfg))
+            for p in paths:
+                c = load_clip(p)
+                if isinstance(pred, VariantPredictor):
+                    top = pred.predict_features(c.X.astype(np.float32), k=k)
+                else:
+                    top = pred.predict_clip(c, k=k)
+                print(f"{p}: {top}")
     elif cmd == "eval-ctc":
         from ..infer.evaluator import evaluate_ctc_dataset
         extras = _extras(kv, "ckpt_path", "clip_dir", "chunk_words")

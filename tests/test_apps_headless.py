@@ -828,6 +828,30 @@ def test_cli_predict_single_clip(tmp_path, capsys):
     assert cli.main(["predict", f"ckpt_path={ckpt}"]) == 2
 
 
+def test_cli_predict_routes_ctc_checkpoint(tmp_path, capsys):
+    """`predict` on a CTC checkpoint runs the dictionary-scored route on the
+    clip (the offline counterpart of infer-ctc) instead of erroring like
+    load_predictor's official/variant routing would."""
+    from silent_speech_tpu.models import ctc_model
+
+    params = jax.tree.map(np.asarray, ctc_model.init_params(
+        jax.random.PRNGKey(0), 180, hidden=16, gru_layers=2, roi_emb=4))
+    meta = dict(max_t=40, vocab=ctc_model.VOCAB,
+                uniq_labels=["yes", "no", "hello"],
+                len_lambda=0.02, exp_len=5)
+    ckpt = str(tmp_path / "ctc.ckpt")
+    save_checkpoint(ckpt, params, meta)
+    out = tmp_path / "clips"
+    rc = cli.main(["record", f"out_dir={out}", "speaker=sim", "sim=30"])
+    assert rc == 0
+    clip = os.path.join(str(out), os.listdir(out)[0])
+    rc = cli.main(["predict", f"ckpt_path={ckpt}", f"clip={clip}", "k=2"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    # two (word, score) pairs from the 3-word dictionary
+    assert line.startswith(clip + ": [(") and line.count("(") == 2
+
+
 def test_cli_train_exposes_function_kwargs(monkeypatch, capsys):
     """`train resume_from=... metrics_path=...` reaches train() as function
     kwargs (they are not TrainConfig fields) — without the plumbing the
