@@ -915,19 +915,27 @@ def _run_stream_sequential(cv2, cam, lm, frame_fn, push_fn, front_lost_fn,
     for frame, ts in cam.frames():
         face = lm.detect(frame)
         out = frame
-        open_val = 0.0
         if face is None:
             # break the velocity/delta chain so post-gap frames can't splice
-            # against seconds-old state (mirrors _run_gated_sequential)
+            # against seconds-old state (mirrors _run_gated_sequential) —
+            # a conscious fix over the reference, which keeps the stale
+            # buffer across the gap
             prev_xy = None
             front_lost_fn()
             engine_lost_fn()
-        else:
-            h, w = out.shape[:2]
-            feat, open_val, prev_xy = frame_fn(face, w, h, prev_xy)
-            res = push_fn(feat)
-            if res is not None:
-                last_label, last_conf = res
+            # reference face-lost frame: the message alone, no label overlay
+            # (inactive/live_feed.py:179-184)
+            cv2.putText(out, "No face found", (10, 30),
+                        cv2.FONT_HERSHEY_SIMPLEX, 1, (0, 0, 255), 2)
+            cv2.imshow("live", out)
+            if cv2.waitKey(1) & 0xFF == ord("q"):
+                break
+            continue
+        h, w = out.shape[:2]
+        feat, open_val, prev_xy = frame_fn(face, w, h, prev_xy)
+        res = push_fn(feat)
+        if res is not None:
+            last_label, last_conf = res
         _stream_overlay(cv2, out, last_label, last_conf, open_val)
         cv2.imshow("live", out)
         if cv2.waitKey(1) & 0xFF == ord("q"):
