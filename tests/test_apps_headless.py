@@ -731,6 +731,34 @@ def test_record_timed_countdown_saves_npz_and_mp4(tmp_path, monkeypatch,
     assert "LIP READING TRAINING DATA RECORDER" in outtext
 
 
+def test_progress_summary_counts_videos_with_npz_fallback(tmp_path, capsys):
+    """The dashboard counts VIDEOS (the reference's rule); with no videos it
+    falls back to npz-label counts so `status` stays useful for corpora from
+    the non-timed recorder."""
+    vids = tmp_path / "videos"
+    clips = tmp_path / "clips"
+    clips.mkdir()
+    from silent_speech_tpu.core.schema import Clip, clip_filename, save_clip
+
+    X = np.zeros((10, 4), np.float32)
+    for i in range(3):
+        c = Clip(X=X, ts=np.arange(10), label="yes", speaker="s")
+        save_clip(c, str(clips / clip_filename("s", "yes", 0, i)))
+    record_timed.print_progress_summary(str(vids),
+                                        npz_fallback_dir=str(clips))
+    out = capsys.readouterr().out
+    assert "  yes      [" in out and "  3/100" in out
+
+    # a video present -> videos are authoritative, fallback ignored
+    vids.mkdir()
+    (vids / "no_001.mp4").write_bytes(b"")
+    record_timed.print_progress_summary(str(vids),
+                                        npz_fallback_dir=str(clips))
+    out = capsys.readouterr().out
+    assert "  no       [" in out and "  1/100" in out
+    assert "yes      [░░░░░░░░░░░░░░░░░░░░]   0/100" in out
+
+
 def test_viewer_apps_run(capsys):
     n = 10
     with sim_session(keys=[], n_frames=n, faces=face_track(n)) as (cv2f, _, _):
