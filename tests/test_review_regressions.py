@@ -1,4 +1,13 @@
-"""Regression tests for the round-1 code-review findings."""
+"""Regression tests for the round-1 code-review findings.
+
+Later rounds' review findings are pinned where they naturally live:
+- round-3 device_put-aliasing under donation (make_sharded_train_step
+  deleting a caller's params): test_parallel::test_grad_sync_is_global_mean
+  re-creates the step from the same params tree after stepping.
+- round-3 resume best-acc bar: test_metrics_resume::test_train_resume_continues.
+- round-3 ring-accepted causal-reset latch:
+  test_apps_headless::test_flagged_source_latch_survives_dropped_sentinel.
+"""
 
 import numpy as np
 
