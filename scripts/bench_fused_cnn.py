@@ -1,0 +1,196 @@
+"""Measure the parity-packed fully-fused ROI CNN (ops/pallas_cnn2.py,
+roi_impl='fused') against the shipped paths, with the stage ablation and the
+MXU-rate probe that decide whether the full fusion wins (VERDICT r3 item 2).
+
+Run on the real chip (one job at a time through the relay):
+
+    python scripts/bench_fused_cnn.py            # full comparison
+    python scripts/bench_fused_cnn.py mxu        # packed-shape MXU rates only
+
+Decision arithmetic (docs/ROI_CNN_PERF.md): the fused kernel's packed MACs
+at N=8192 frames total ~270 G (stage1 31 G + stage2 174 G + stage3 65 G).
+At the doc's 4096^3-measured 26.7 T MAC/s the matmul floor alone (10 ms)
+loses to grouped (5.78 ms f32); at the ~75 T MAC/s implied by
+ops/pallas_cnn.py's in-kernel ablation ("MACs ~2 ms of MXU time") it wins
+(~3.6 ms + overhead). The `mxu` probe measures the truth for the exact
+packed shapes, VMEM-resident, chained inside one jit.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_FRAMES = 8192
+ITERS = 30
+
+
+def timed(fn, args, iters=ITERS):
+    """Chained-scan on-chip timing (relay dispatch amortized out)."""
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(args, n):
+        def body(c, _):
+            out = fn(*jax.tree.map(lambda x: x + c if x.dtype == jnp.uint8
+                                   else x, args))
+            return (jnp.sum(out[:1, :1]) * 1e-30).astype(jnp.uint8), out[0, 0]
+        _, outs = lax.scan(body, jnp.uint8(0), None, length=n)
+        return outs[-1]
+
+    float(loop(args, 2))
+    float(loop(args, iters))
+    t0 = time.perf_counter()
+    float(loop(args, iters))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+# ----------------------------------------------------------------------------
+# MXU rate probe: the exact packed matmul shapes, VMEM-resident
+# ----------------------------------------------------------------------------
+
+def _mm_kernel(reps: int, a_ref, b_ref, o_ref):
+    acc = jnp.zeros_like(o_ref)
+    a = a_ref[...]
+    for r in range(reps):
+        # rotate lanes so reps can't be CSE'd; roll is cheap vs the dot
+        acc = acc + jnp.dot(pltpu.roll(a, r % 8, axis=1), b_ref[...],
+                            preferred_element_type=jnp.float32)
+    o_ref[...] = acc
+
+
+def mxu_rate(M, K, N, reps=64, grid=64):
+    a = jnp.asarray(np.random.default_rng(0).standard_normal((M, K)),
+                    jnp.float32)
+    b = jnp.asarray(np.random.default_rng(1).standard_normal((K, N)),
+                    jnp.float32)
+    f = pl.pallas_call(
+        functools.partial(_mm_kernel, reps),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((M, K), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((K, N), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((M, N), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+    )
+    g = jax.jit(lambda a, b: f(a, b))
+    np.asarray(g(a, b))
+    t0 = time.perf_counter()
+    np.asarray(g(a, b))
+    dt = time.perf_counter() - t0
+    macs = M * K * N * reps * grid
+    return macs / dt / 1e12
+
+
+def probe_mxu():
+    print("== MXU rate probe (f32 in, f32 acc, VMEM-resident) ==")
+    for M, K, N, tag in (
+        (192, 104, 128, "stage1 tile"),
+        (192, 1152, 384, "stage2 full-width"),
+        (192, 512, 128, "stage2 tiled alt"),
+        (192, 1152, 576, "stage3 full-width"),
+        (512, 512, 512, "square 512"),
+        (1024, 1024, 1024, "square 1024"),
+    ):
+        r = mxu_rate(M, K, N)
+        print(f"  ({M:5d},{K:5d},{N:5d}) {tag:20s}: {r:6.1f} T MAC/s")
+
+
+# ----------------------------------------------------------------------------
+# kernel comparison + ablation
+# ----------------------------------------------------------------------------
+
+def main():
+    from silent_speech_tpu.models import bigru as model
+    from silent_speech_tpu.models.bigru import preprocess_roi
+    from silent_speech_tpu.ops import pallas_cnn2
+    from silent_speech_tpu.ops.grouped_cnn import roi_cnn_grouped
+    from silent_speech_tpu.ops.pallas_cnn2 import (
+        pack_roi_cnn_fused, roi_cnn_fused)
+
+    mcfg = model.BiGRUConfig(x_dim=180, num_classes=10, use_roi=True)
+    params = model.init_params(jax.random.PRNGKey(0), mcfg)
+    cnn = params["roi_cnn"]
+    packed = pack_roi_cnn_fused(cnn)
+
+    rng = np.random.default_rng(0)
+    roi = jnp.asarray(rng.integers(0, 256, (N_FRAMES, 48, 96), dtype=np.uint8))
+
+    want = np.asarray(roi_cnn_grouped(cnn, preprocess_roi(roi[:256], False)))
+    for variant in ("wide", "tiled"):
+        got = np.asarray(roi_cnn_fused(roi[:256], packed, variant=variant))
+        err = np.abs(got - want).max()
+        print(f"on-chip correctness vs grouped ({variant}): "
+              f"max|err| = {err:.2e}")
+
+    def fused(r):
+        return roi_cnn_fused(r, packed)
+
+    def fused_tiled(r):
+        return roi_cnn_fused(r, packed, variant="tiled")
+
+    def fused_bf16(r):
+        return roi_cnn_fused(r, packed, compute_dtype=jnp.bfloat16)
+
+    def fused_tiled_bf16(r):
+        return roi_cnn_fused(r, packed, variant="tiled",
+                             compute_dtype=jnp.bfloat16)
+
+    def grouped(r):
+        return roi_cnn_grouped(cnn, preprocess_roi(r, False))
+
+    def grouped_bf16(r):
+        return roi_cnn_grouped(
+            cnn, preprocess_roi(r, False).astype(jnp.bfloat16)
+        ).astype(jnp.float32)
+
+    print(f"grouped     f32 : {timed(grouped, (roi,)):6.2f} ms / {N_FRAMES} frames")
+    print(f"fused-wide  f32 : {timed(fused, (roi,)):6.2f} ms")
+    print(f"fused-tiled f32 : {timed(fused_tiled, (roi,)):6.2f} ms")
+    print(f"grouped     bf16: {timed(grouped_bf16, (roi,)):6.2f} ms")
+    print(f"fused-wide  bf16: {timed(fused_bf16, (roi,)):6.2f} ms")
+    print(f"fused-tiled bf16: {timed(fused_tiled_bf16, (roi,)):6.2f} ms")
+
+    print("== stage ablation (cumulative cost up to each stage) ==")
+    for stop in ("conv1", "conv2", "conv3", None):
+        pallas_cnn2._DEBUG_STOP_AFTER = stop
+        jax.clear_caches()  # the knob is baked at trace time
+        t = timed(fused, (roi,))
+        print(f"  up to {stop or 'full':5s}: {t:6.2f} ms")
+    pallas_cnn2._DEBUG_STOP_AFTER = None
+    jax.clear_caches()
+
+    # end-to-end live forward at the bench shape
+    T = 32
+    B = N_FRAMES // T
+    X = jnp.asarray(rng.standard_normal((B, T, 180)).astype(np.float32))
+    lengths = jnp.asarray(np.full((B,), T, np.int32))
+    roi4 = roi.reshape(B, T, 48, 96)
+
+    for impl in ("grouped", "fused"):
+        def fwd(X, roi4):
+            return model.live_forward(
+                params, mcfg, X, lengths, roi4, roi_impl=impl,
+                roi_packed=packed if impl == "fused" else None,
+                matmul_precision="parity")
+        t = timed(fwd, (X, roi4))
+        print(f"e2e live fwd ({impl:7s}, parity): {t:6.2f} ms "
+              f"-> {B * ITERS / (t * ITERS / 1e3):8.0f} clips/s")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "mxu":
+        probe_mxu()
+    else:
+        probe_mxu()
+        main()

@@ -72,6 +72,13 @@ def main():
             ("xla", "scan", jnp.float32, "parity", "xla/scan/f32/parity"),
             ("grouped", "scan", jnp.float32, "parity",
              "grouped/scan/f32/parity"),
+            # round-4 parity-packed fused CNN (ops/pallas_cnn2.py): in-kernel
+            # f32 matmul accumulation, so no precision raise applies inside
+            # the CNN; the head raise still comes from 'parity'
+            ("fused", "scan", jnp.float32, "parity",
+             "fused/scan/f32/parity"),
+            ("fused", "pallas", jnp.float32, None, "fused/pallas/f32"),
+            ("fused", "pallas", jnp.bfloat16, None, "fused/pallas/bf16"),
         ):
             logits = np.asarray(model.live_forward(
                 params, mcfg, jnp.asarray(X), jnp.asarray(L.astype(np.int32)),

@@ -53,6 +53,8 @@ class Predictor:
     min_frames: int = 5
     buckets: tuple[int, ...] = (16, 32, 64, 90)
     compute_dtype: str = "float32"  # "bfloat16" = fast serving mode
+    # 'xla' | 'grouped' | 'pallas' | 'fused' (parity-packed single-program
+    # Pallas CNN, ops/pallas_cnn2.py)
     roi_impl: str = "xla"
     gru_impl: str = "scan"  # "pallas" = fused sequence kernel (bit-identical)
     # "parity" (the serving default) = head-site precision raise — the
@@ -69,12 +71,22 @@ class Predictor:
         self.buckets = tuple(sorted(set(list(self.buckets) + [self.max_t])))
         dtype = jnp.dtype(self.compute_dtype)
 
+        roi_packed = None
+        if self.roi_impl == "fused" and self.cfg.use_roi:
+            # pack once on concrete params (host-side numpy) so jitted
+            # forwards skip the in-trace scatter pack
+            from ..ops.pallas_cnn2 import pack_roi_cnn_fused
+
+            roi_packed = pack_roi_cnn_fused(
+                jax.tree.map(np.asarray, self.params["roi_cnn"]))
+
         @partial(jax.jit, static_argnames=())
         def _fwd(params, X, lengths, roi):
             return model.live_forward(params, self.cfg, X, lengths, roi,
                                       compute_dtype=dtype,
                                       roi_impl=self.roi_impl,
                                       gru_impl=self.gru_impl,
+                                      roi_packed=roi_packed,
                                       matmul_precision=self.matmul_precision)
 
         self._fwd = _fwd

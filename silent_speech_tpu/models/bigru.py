@@ -198,9 +198,10 @@ def forward(
     bitwise-identical gradients, less activation HBM traffic.
 
     ``gru_impl``: 'scan' (differentiable, default) or 'pallas' (fused
-    sequence kernel, inference-only). ``roi_impl``: 'xla' or 'pallas' (fused
-    TinyROICNN kernel, inference-only; pass ``roi_packed`` from
-    ops.pallas_cnn.pack_roi_cnn_params to reuse the packed weights).
+    sequence kernel, inference-only). ``roi_impl``: 'xla', 'grouped',
+    'pallas', or 'fused' (the parity-packed single-program TinyROICNN
+    kernel, ops/pallas_cnn2.py; inference-only; pass ``roi_packed`` from
+    the matching pack function to reuse packed weights across calls).
 
     ``matmul_precision``: None = backend default; a string ('high',
     'highest', ...) applies globally to this forward; ``'parity'`` is the
@@ -212,9 +213,9 @@ def forward(
     Per-site GRU precisions apply to the scan impl (gru_impl='pallas' does
     its own in-kernel f32 math). Returns logits (B, num_classes) f32.
     """
-    if roi_impl not in ("xla", "grouped", "pallas"):
+    if roi_impl not in ("xla", "grouped", "pallas", "fused"):
         raise ValueError(f"unknown roi_impl {roi_impl!r} "
-                         "(expected 'xla', 'grouped', or 'pallas')")
+                         "(expected 'xla', 'grouped', 'pallas', or 'fused')")
     if gru_impl not in ("scan", "pallas"):
         raise ValueError(f"unknown gru_impl {gru_impl!r} "
                          "(expected 'scan' or 'pallas')")
@@ -239,7 +240,20 @@ def forward(
         if roi is None:
             raise ValueError("model was built with use_roi=True but got roi=None")
         with _prec_scope(site_prec.get("roi")):
-            if roi_impl == "pallas" and not train:
+            if roi_impl == "fused" and not train:
+                from ..ops.pallas_cnn2 import (
+                    pack_roi_cnn_fused_traceable, roi_cnn_fused)
+
+                if roi_packed is None:
+                    roi_packed = pack_roi_cnn_fused_traceable(
+                        params["roi_cnn"])
+                B, T = roi.shape[:2]
+                roi_e = roi_cnn_fused(
+                    roi.reshape(B * T, *roi.shape[2:]), roi_packed,
+                    standardize=roi_standardize,
+                    compute_dtype=jnp.dtype(compute_dtype),
+                ).reshape(B, T, -1).astype(compute_dtype)
+            elif roi_impl == "pallas" and not train:
                 from ..ops.pallas_cnn import pack_roi_cnn_params, roi_cnn_pallas
 
                 if roi_packed is None:

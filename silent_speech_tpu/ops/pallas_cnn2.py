@@ -1,0 +1,541 @@
+"""Parity-packed fully-fused TinyROICNN Pallas kernel ("fused" roi_impl).
+
+Round-3's two proven pieces, finally combined (VERDICT r3 item 2):
+
+1. The *parity-packed* conv1+pool1 front (scripts/proto_parity_e2e.py,
+   bitwise-exact, 2.0 ms standalone vs ~4.3 ms for the XLA front): the input
+   is pre-split into 4 h-mod-4 row classes so BOTH 2x2-pool directions become
+   elementwise maxes — the w direction via two packed weight matrices (WE
+   computes conv at even w, WO at odd w, pool = max(ye, yo)), the h direction
+   via accumulating a max across row-class pairs. Zero Mosaic pool reshapes,
+   zero strided anything.
+2. The all-in-VMEM multi-stage scaffold (ops/pallas_cnn.py), whose measured
+   pathology was exactly the relayout set the parity trick removes (the
+   (R/2,2,L) pool reshape-max ~3.7 ms + unaligned 18/80/160-lane patch
+   slices; MACs were never the problem).
+
+This kernel extends parity packing through conv2/pool2/conv3 so control
+NEVER returns to XLA mid-CNN — docs/ROI_CNN_PERF.md measured any
+Pallas->XLA-conv boundary at +14 ms (a 302 MB row-major->batch-minor layout
+copy at ~20 GB/s), which is what killed the round-2 hybrid. Here the only
+HBM traffic is one pass over the uint8 input and the (N, emb) output.
+
+Layout invariants (per grid step of F frames, rows always = (frame, row)):
+
+- stage-1 output  c1p (F*12, 768): row k holds pooled rows m=2k in lanes
+  [0:384) and m=2k+1 in [384:768); within a half, lane = w*8 + c (w in
+  [0,48)). Produced directly by the parity matmuls — the even/odd halves
+  are exactly the h-parity classes stage 2 needs, so stage 2's row-shifted
+  views are three 384-lane (128-aligned) slices plus two masked rolls.
+- stage-2 patches are FULL-WIDTH: the packed weight (1152, 768) =
+  [W2E | W2O] carries the entire 48-w input span per dy view, with window
+  selection and SAME-pad boundary zeros baked into the weight zeros, and
+  both w-parities riding one dot per h-parity patch. K is ~16x inflated
+  over the true MACs, but every patch copy is a whole 128-multiple lane
+  block — the measured Mosaic tax was relayouts, not MACs.
+- stage-2 output c2 (F*12, 384): lane = w2*16 + c (w2 in [0,24)) — pool2
+  halves 24 conv rows back to the 12-row layout, so stage 3 needs only
+  +/-1 masked row rolls, no parity split.
+- stage-3 conv3 is one full-width matmul (1152, 576); global mean + fc are
+  selector matmuls (no 4-D reshapes), emitting the (F, emb) output block.
+
+Matches roi_cnn_grouped / the XLA path to f32 reassociation (<=2e-4;
+tests/test_pallas_cnn2.py); wired as ``roi_impl='fused'`` on the live
+forward. Reference architecture: train_model_official.py:209-229
+(TinyROICNN); normalization contract: live_infer_official.py:126 (/255,
+no standardization) and train_model_official.py:286-291 (per-frame
+standardize, ddof=1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F_TILE = 16  # frames per grid step
+
+# geometry (input 48x96 -> 24x48x8 -> 12x24x16 -> 12x24x24 -> mean -> fc)
+H0, W0 = 48, 96
+HQ = H0 // 4          # rows per h-mod-4 class = 12 (the invariant row count)
+W1P, C1 = 48, 8       # pooled stage-1 grid
+W2P, C2 = 24, 16      # pooled stage-2 grid
+C3 = 24
+KP1 = 104             # stage-1 packed K (3 dy * 34 local lanes, padded)
+
+# perf-debug knob: truncate after a stage ("conv1", "conv2", "conv3");
+# None = full kernel. Set before tracing (same idiom as ops/pallas_cnn.py).
+_DEBUG_STOP_AFTER = None
+
+
+# ----------------------------------------------------------------------------
+# host-side weight packing
+# ----------------------------------------------------------------------------
+
+def _pack_stage1(k: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """conv0 (3,3,1,8) HWIO -> (WE, WO) each (104, 128).
+
+    Column (t*8+co) is pooled-w position t of a 16-wide tile; row
+    dy*34 + local is the patch lane (local w offset 2t+dx within the
+    34-lane haloed j-tile slice). WE covers conv w=2t_global, WO w=2t+1.
+    """
+    k = np.asarray(k, np.float32)
+    WE = np.zeros((KP1, 128), np.float32)
+    WO = np.zeros((KP1, 128), np.float32)
+    for t in range(16):
+        for co in range(8):
+            col = t * 8 + co
+            for dy in range(3):
+                for dx in range(3):
+                    WE[dy * 34 + 2 * t + dx, col] = k[dy, dx, 0, co]
+                    WO[dy * 34 + 2 * t + 1 + dx, col] = k[dy, dx, 0, co]
+    return WE, WO
+
+
+def _pack_stage2(k: np.ndarray) -> np.ndarray:
+    """conv1 (3,3,8,16) -> one (1152, 768) full-width matrix [W2E | W2O].
+
+    Row = dy*384 + w_in*8 + ci over the whole 48-w stage-1 span; column =
+    q*16 + co for pooled output w2=q in the even half (conv w=2q, taps
+    w_in = 2q-1+dx) and 384 + q*16 + co in the odd half (conv w=2q+1, taps
+    w_in = 2q+dx). Out-of-range taps are simply not placed = SAME zero
+    padding, so no w halo buffer is needed; both w-parities ride one dot.
+    """
+    k = np.asarray(k, np.float32)
+    W2 = np.zeros((3 * W1P * C1, 2 * W2P * C2), np.float32)
+    for dy in range(3):
+        for q in range(W2P):
+            for dx in range(3):
+                we_w = 2 * q - 1 + dx
+                wo_w = 2 * q + dx
+                for ci in range(C1):
+                    for co in range(C2):
+                        col = q * C2 + co
+                        if 0 <= we_w < W1P:
+                            W2[dy * 384 + we_w * C1 + ci, col] = k[dy, dx, ci, co]
+                        if 0 <= wo_w < W1P:
+                            W2[dy * 384 + wo_w * C1 + ci,
+                               384 + col] = k[dy, dx, ci, co]
+    return W2
+
+
+def _pack_stage2_tiled(k: np.ndarray) -> np.ndarray:
+    """conv1 (3,3,8,16) -> (512, 256) tile matrix for the 'tiled' stage-2
+    variant: 2.25x fewer packed MACs than full-width, paid for with three
+    160-lane patch slices per dy view (from 16-lane-haloed buffers).
+
+    The j-th tile computes pooled w2 = 8j..8j+7 from input w_in in
+    [16j-2, 16j+18); rows are dy*160 + l*8 + ci with l = w_in - (16j-2),
+    cols are q_off*16 + co (even conv w, taps l = 2*q_off+1+dx) in [0:128)
+    and 128 + q_off*16 + co (odd, taps l = 2*q_off+2+dx). The same matrix
+    serves every j — frame-edge zeros live in the halo buffer, not the
+    weights.
+    """
+    k = np.asarray(k, np.float32)
+    W = np.zeros((512, 256), np.float32)
+    for dy in range(3):
+        for q_off in range(8):
+            for dx in range(3):
+                for ci in range(C1):
+                    for co in range(C2):
+                        col = q_off * C2 + co
+                        le = 2 * q_off + 1 + dx
+                        lo = 2 * q_off + 2 + dx
+                        W[dy * 160 + le * C1 + ci, col] = k[dy, dx, ci, co]
+                        W[dy * 160 + lo * C1 + ci, 128 + col] = k[dy, dx, ci, co]
+    return W
+
+
+def _pack_stage3(k: np.ndarray) -> np.ndarray:
+    """conv2 (3,3,16,24) -> (1152, 576), full-width (no pool after)."""
+    k = np.asarray(k, np.float32)
+    W3 = np.zeros((3 * W2P * C2, W2P * C3), np.float32)
+    for dy in range(3):
+        for w in range(W2P):
+            for dx in range(3):
+                wi = w - 1 + dx
+                if not 0 <= wi < W2P:
+                    continue
+                for ci in range(C2):
+                    for co in range(C3):
+                        W3[dy * 384 + wi * C2 + ci, w * C3 + co] = k[dy, dx, ci, co]
+    return W3
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_indices():
+    """Static scatter indices for the traceable pack: per packed matrix, the
+    (rows, cols, flat_src) triples mapping HWIO weight entries to their
+    packed positions. Geometry-only, computed once."""
+    s1e, s1o = [], []
+    for t in range(16):
+        for co in range(8):
+            for dy in range(3):
+                for dx in range(3):
+                    src = (dy * 3 + dx) * 8 + co  # (3,3,1,8) flat
+                    s1e.append((dy * 34 + 2 * t + dx, t * 8 + co, src))
+                    s1o.append((dy * 34 + 2 * t + 1 + dx, t * 8 + co, src))
+    s2 = []
+    for dy in range(3):
+        for q in range(W2P):
+            for dx in range(3):
+                for ci in range(C1):
+                    for co in range(C2):
+                        src = ((dy * 3 + dx) * C1 + ci) * C2 + co
+                        col = q * C2 + co
+                        we_w = 2 * q - 1 + dx
+                        wo_w = 2 * q + dx
+                        if 0 <= we_w < W1P:
+                            s2.append((dy * 384 + we_w * C1 + ci, col, src))
+                        if 0 <= wo_w < W1P:
+                            s2.append((dy * 384 + wo_w * C1 + ci,
+                                       384 + col, src))
+    s2t = []
+    for dy in range(3):
+        for q_off in range(8):
+            for dx in range(3):
+                for ci in range(C1):
+                    for co in range(C2):
+                        src = ((dy * 3 + dx) * C1 + ci) * C2 + co
+                        col = q_off * C2 + co
+                        le = 2 * q_off + 1 + dx
+                        lo = 2 * q_off + 2 + dx
+                        s2t.append((dy * 160 + le * C1 + ci, col, src))
+                        s2t.append((dy * 160 + lo * C1 + ci, 128 + col, src))
+    s3 = []
+    for dy in range(3):
+        for w in range(W2P):
+            for dx in range(3):
+                wi = w - 1 + dx
+                if not 0 <= wi < W2P:
+                    continue
+                for ci in range(C2):
+                    for co in range(C3):
+                        src = ((dy * 3 + dx) * C2 + ci) * C3 + co
+                        s3.append((dy * 384 + wi * C2 + ci, w * C3 + co, src))
+    as_np = lambda s: tuple(np.asarray(v, np.int32) for v in zip(*s))
+    return tuple(as_np(s) for s in (s1e, s1o, s2, s2t, s3))
+
+
+def pack_roi_cnn_fused_traceable(params: dict) -> dict:
+    """jit-traceable pack (scatter form): identical values to
+    ``pack_roi_cnn_fused`` (pinned by tests) but works on tracers, so
+    ``forward(roi_impl='fused')`` can pack inline under jit. Negligible
+    per-call cost (~10k-element scatters); precompute with the numpy pack
+    when params are concrete (Predictor does)."""
+    idx = _pack_indices()
+    shapes = [(KP1, 128), (KP1, 128), (3 * W1P * C1, 2 * W2P * C2),
+              (512, 256), (3 * W2P * C2, W2P * C3)]
+    srcs = [params["conv0"]["w"], params["conv0"]["w"], params["conv1"]["w"],
+            params["conv1"]["w"], params["conv2"]["w"]]
+    mats = []
+    for (rows, cols, flat), shape, k in zip(idx, shapes, srcs):
+        kf = jnp.asarray(k, jnp.float32).reshape(-1)
+        mats.append(jnp.zeros(shape, jnp.float32).at[rows, cols].set(kf[flat]))
+    w1e, w1o, w2, w2t, w3 = mats
+    tile = lambda b, n: jnp.tile(jnp.asarray(b, jnp.float32), n)[None, :]
+    return {
+        "w1e": w1e, "w1o": w1o, "b1": tile(params["conv0"]["b"], W1P),
+        "w2": w2, "w2t": w2t, "b2": tile(params["conv1"]["b"], W2P),
+        "w3": w3, "b3": tile(params["conv2"]["b"], W2P),
+        "fc_w": jnp.asarray(params["fc"]["w"], jnp.float32),
+        "fc_b": jnp.asarray(params["fc"]["b"], jnp.float32)[None, :],
+    }
+
+
+def pack_roi_cnn_fused(params: dict) -> dict:
+    """TinyROICNN param pytree (models/bigru.py layout) -> packed operands.
+    Cheap; do once per loaded checkpoint."""
+    w1e, w1o = _pack_stage1(np.asarray(params["conv0"]["w"]))
+    w2 = _pack_stage2(np.asarray(params["conv1"]["w"]))
+    w2t = _pack_stage2_tiled(np.asarray(params["conv1"]["w"]))
+    w3 = _pack_stage3(np.asarray(params["conv2"]["w"]))
+    tile = lambda b, n: np.tile(np.asarray(b, np.float32), n)[None, :]
+    return {
+        "w1e": jnp.asarray(w1e), "w1o": jnp.asarray(w1o),
+        "b1": jnp.asarray(tile(params["conv0"]["b"], W1P)),      # (1, 384)
+        "w2": jnp.asarray(w2),                                   # (1152, 768)
+        "w2t": jnp.asarray(w2t),                                 # (512, 256)
+        "b2": jnp.asarray(tile(params["conv1"]["b"], W2P)),      # (1, 384)
+        "w3": jnp.asarray(w3),
+        "b3": jnp.asarray(tile(params["conv2"]["b"], W2P)),      # (1, 576)
+        "fc_w": jnp.asarray(np.asarray(params["fc"]["w"], np.float32)),
+        "fc_b": jnp.asarray(np.asarray(params["fc"]["b"], np.float32)[None, :]),
+    }
+
+
+# ----------------------------------------------------------------------------
+# kernel
+# ----------------------------------------------------------------------------
+
+def _iota2(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _shift_down(x, kk):
+    """Row r receives row r-1's value; zero at the first row of each frame.
+    (Source row one ABOVE = the previous in-frame row.)"""
+    return jnp.where(kk == 0, 0.0, pltpu.roll(x, 1, axis=0))
+
+
+def _shift_up(x, kk):
+    """Row r receives row r+1's value; zero at the last row of each frame."""
+    return jnp.where(kk == HQ - 1, 0.0, pltpu.roll(x, x.shape[0] - 1, axis=0))
+
+
+def _roi_fused_kernel(standardize: bool, variant: str,
+                      x0_ref, x1_ref, x2_ref, x3_ref,
+                      w1e_ref, w1o_ref, b1_ref,
+                      w2_ref, b2_ref,
+                      w3_ref, b3_ref, fcw_ref, fcb_ref,
+                      out_ref, *scratch):
+    if variant == "wide":
+        halo_ref, p1_ref, c1_ref, p2_ref, c2_ref, p3_ref, c3_ref = scratch
+    else:  # tiled stage 2
+        (halo_ref, p1_ref, c1_ref, he_ref, ho_ref, p2t_ref, c2_ref,
+         p3_ref, c3_ref) = scratch
+    F = F_TILE
+    M = F * HQ
+    kk = _iota2((M, 1), 0) % HQ  # in-frame row index
+
+    # Mosaic has no u8 -> f32 cast; widen via i32. /255 matches the live
+    # normalization (live_infer_official.py:126) bit-for-bit with the XLA
+    # preprocess path. All normalization math is f32; the activations are
+    # cast to the compute dtype (= the scratch dtype: f32 exact mode, bf16
+    # serving mode with f32 matmul accumulation) only when stored.
+    cdtype = halo_ref.dtype
+    xs = [r[...].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+          for r in (x0_ref, x1_ref, x2_ref, x3_ref)]
+
+    if standardize:
+        # training-path per-frame standardization (ddof=1,
+        # train_model_official.py:286-291) from the 4 class buffers: row
+        # sums -> frame-selector matmul, broadcast back the same way
+        n_px = H0 * W0
+        sf = (_iota2((F, M), 1) // HQ == _iota2((F, M), 0)).astype(jnp.float32)
+        fsum = jnp.zeros((F, 1), jnp.float32)
+        fsq = jnp.zeros((F, 1), jnp.float32)
+        for x in xs:
+            fsum = fsum + jnp.dot(sf, jnp.sum(x, axis=1, keepdims=True),
+                                  preferred_element_type=jnp.float32)
+            fsq = fsq + jnp.dot(sf, jnp.sum(x * x, axis=1, keepdims=True),
+                                preferred_element_type=jnp.float32)
+        mu = fsum / n_px
+        var = (fsq - fsum * fsum / n_px) / (n_px - 1)
+        inv = 1.0 / jnp.maximum(jnp.sqrt(var), 1e-6)
+        mu_b = jnp.dot(sf.T, mu, preferred_element_type=jnp.float32)
+        inv_b = jnp.dot(sf.T, inv, preferred_element_type=jnp.float32)
+        xs = [(x - mu_b) * inv_b for x in xs]
+
+    # ---- stage 1: parity conv0 + pool1 (proto_parity_e2e scheme) ----
+    for c in range(4):
+        halo_ref[c] = jnp.zeros_like(halo_ref[c])
+        halo_ref[c, :, 1:1 + W0] = xs[c].astype(cdtype)
+    x3d = _shift_down(halo_ref[3][...], kk)   # class3 rows k-1 (input h=4k-1)
+    x0u = _shift_up(halo_ref[0][...], kk)     # class0 rows k+1 (input h=4k+4)
+    views = [
+        (x3d, halo_ref[0][...], halo_ref[1][...]),
+        (halo_ref[0][...], halo_ref[1][...], halo_ref[2][...]),
+        (halo_ref[1][...], halo_ref[2][...], halo_ref[3][...]),
+        (halo_ref[2][...], halo_ref[3][...], x0u),
+    ]
+    b1 = b1_ref[...]
+    p1_ref[:, 3 * 34:] = jnp.zeros_like(p1_ref[:, 3 * 34:])
+    for base, (ca, cb) in ((0, (0, 1)), (384, (2, 3))):
+        for c in (ca, cb):
+            for j in range(3):
+                for dy in range(3):
+                    p1_ref[:, dy * 34: dy * 34 + 34] = (
+                        views[c][dy][:, 32 * j: 32 * j + 34])
+                p = p1_ref[...]
+                ye = jnp.dot(p, w1e_ref[...],
+                             preferred_element_type=jnp.float32)
+                yo = jnp.dot(p, w1o_ref[...],
+                             preferred_element_type=jnp.float32)
+                m = jnp.maximum(ye, yo).astype(cdtype)
+                sl = slice(base + 128 * j, base + 128 * (j + 1))
+                if c == ca:
+                    c1_ref[:, sl] = m
+                else:
+                    c1_ref[:, sl] = jnp.maximum(c1_ref[:, sl], m)
+        osl = slice(base, base + 384)
+        c1_ref[:, osl] = jnp.maximum(c1_ref[:, osl] + b1.astype(cdtype), 0.0)
+
+    if _DEBUG_STOP_AFTER == "conv1":
+        out_ref[...] = jnp.zeros_like(out_ref[...]) + jnp.sum(c1_ref[...])
+        return
+
+    # ---- stage 2: parity conv1 + pool2 ----
+    # c1p halves ARE the h-parity classes
+    ve = c1_ref[:, 0:384]
+    vo = c1_ref[:, 384:768]
+    if variant == "wide":
+        # full-width: four 384-lane copies are the only data movement
+        p2_ref[:, 0:384] = _shift_down(vo, kk)    # input row 2p-1
+        p2_ref[:, 384:768] = ve                   # input row 2p
+        p2_ref[:, 768:1152] = vo                  # input row 2p+1
+        p2_ref[:, 1152:1536] = _shift_up(ve, kk)  # input row 2p+2
+        pE = p2_ref[:, 0:1152]
+        pO = p2_ref[:, 384:1536]
+        # one dot per h-parity patch; [W2E|W2O] columns give both w-parities
+        yE = jnp.dot(pE, w2_ref[...], preferred_element_type=jnp.float32)
+        yO = jnp.dot(pO, w2_ref[...], preferred_element_type=jnp.float32)
+        c2_ref[...] = jnp.maximum(
+            jnp.maximum(jnp.maximum(yE[:, 0:384], yE[:, 384:768]),
+                        jnp.maximum(yO[:, 0:384], yO[:, 384:768]))
+            + b2_ref[...], 0.0).astype(cdtype)
+    else:
+        # tiled: 2.25x fewer MACs; three 160-lane slices per dy view from
+        # 16-lane-haloed buffers (the slice starts stay 128-aligned)
+        he_ref[...] = jnp.zeros_like(he_ref[...])
+        ho_ref[...] = jnp.zeros_like(ho_ref[...])
+        he_ref[:, 16:400] = ve
+        ho_ref[:, 16:400] = vo
+        hE = he_ref[...]
+        hO = ho_ref[...]
+        vOd = _shift_down(hO, kk)   # input row 2p-1
+        vEu = _shift_up(hE, kk)     # input row 2p+2
+        p2t_ref[:, 480:] = jnp.zeros_like(p2t_ref[:, 480:])
+        b2t = b2_ref[:, 0:128]      # q_off*16+co tile == first 8 q's bias
+        for j in range(3):
+            sl = slice(128 * j, 128 * j + 160)
+            for dy, view in ((0, vOd), (1, hE), (2, hO)):        # E rows 2p
+                p2t_ref[:, dy * 160: dy * 160 + 160] = view[:, sl]
+            yE = jnp.dot(p2t_ref[...], w2_ref[...],
+                         preferred_element_type=jnp.float32)
+            for dy, view in ((0, hE), (1, hO), (2, vEu)):        # O rows 2p+1
+                p2t_ref[:, dy * 160: dy * 160 + 160] = view[:, sl]
+            yO = jnp.dot(p2t_ref[...], w2_ref[...],
+                         preferred_element_type=jnp.float32)
+            c2_ref[:, 128 * j: 128 * (j + 1)] = jnp.maximum(
+                jnp.maximum(jnp.maximum(yE[:, 0:128], yE[:, 128:256]),
+                            jnp.maximum(yO[:, 0:128], yO[:, 128:256]))
+                + b2t, 0.0).astype(cdtype)
+
+    if _DEBUG_STOP_AFTER == "conv2":
+        out_ref[...] = jnp.zeros_like(out_ref[...]) + jnp.sum(c2_ref[...])
+        return
+
+    # ---- stage 3: conv2 full-width + global mean + fc ----
+    c2v = c2_ref[...]
+    p3_ref[:, 0:384] = _shift_down(c2v, kk)
+    p3_ref[:, 384:768] = c2v
+    p3_ref[:, 768:1152] = _shift_up(c2v, kk)
+    c3_ref[...] = jnp.maximum(
+        jnp.dot(p3_ref[...], w3_ref[...], preferred_element_type=jnp.float32)
+        + b3_ref[...], 0.0)
+
+    if _DEBUG_STOP_AFTER == "conv3":
+        out_ref[...] = jnp.zeros_like(out_ref[...]) + jnp.sum(c3_ref[...])
+        return
+
+    # global mean over (h=12 rows, w=24) via selector matmuls
+    sfr = (_iota2((F, M), 1) // HQ == _iota2((F, M), 0)).astype(jnp.float32)
+    by_frame = jnp.dot(sfr, c3_ref[...],
+                       preferred_element_type=jnp.float32)  # (F, 576)
+    L3 = W2P * C3
+    scol = (_iota2((L3, C3), 0) % C3 == _iota2((L3, C3), 1)).astype(jnp.float32)
+    feat = jnp.dot(by_frame, scol,
+                   preferred_element_type=jnp.float32) / (HQ * W2P)
+    out_ref[...] = (
+        jnp.dot(feat, fcw_ref[...], preferred_element_type=jnp.float32)
+        + fcb_ref[...]
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("standardize", "interpret",
+                                    "compute_dtype", "variant"))
+def roi_cnn_fused(
+    roi_u8: jnp.ndarray,
+    packed: dict,
+    *,
+    standardize: bool = False,
+    interpret: Optional[bool] = None,
+    compute_dtype=jnp.float32,
+    variant: str = "wide",
+) -> jnp.ndarray:
+    """roi_u8: (N, 48, 96) uint8 -> embeddings (N, emb) float32.
+
+    One Pallas program fusing /255 normalization (+ optional train-path
+    standardization), all three convs, both pools, the global mean and the
+    fc; the only HBM traffic is the uint8 input and the (N, emb) output.
+
+    ``compute_dtype=bfloat16`` stores activations/weights in bf16 (halving
+    the in-VMEM copy bytes, the expected overhead term) with every matmul
+    still accumulating f32; normalization math, conv3 output, mean and fc
+    stay f32. Fidelity bar for bf16 is the argmax gate
+    (tests/test_bf16_parity.py), same as the XLA bf16 serving mode.
+
+    ``variant``: 'wide' (full-width stage-2 matmuls, zero sub-128-lane
+    slices) or 'tiled' (2.25x fewer stage-2 MACs via (512, 256) tile
+    matmuls, three 160-lane patch slices per dy view) — which wins is an
+    MXU-rate-vs-copy-cost tradeoff measured by scripts/bench_fused_cnn.py.
+    """
+    if variant not in ("wide", "tiled"):
+        raise ValueError(f"unknown variant {variant!r}")
+    if interpret is None:
+        from .pallas_gru import default_interpret
+
+        interpret = default_interpret()
+    cdtype = jnp.dtype(compute_dtype)
+    N = roi_u8.shape[0]
+    emb = packed["fc_w"].shape[-1]
+    N_pad = -(-N // F_TILE) * F_TILE
+    if N_pad != N:
+        roi_u8 = jnp.pad(roi_u8, ((0, N_pad - N), (0, 0), (0, 0)))
+
+    # h-mod-4 row-class split (cheap XLA u8 strided slice, one HBM pass)
+    parts = [roi_u8[:, c::4, :].reshape(N_pad * HQ, W0) for c in range(4)]
+
+    F = F_TILE
+    M = F * HQ
+    kernel = functools.partial(_roi_fused_kernel, standardize, variant)
+    spec_in = pl.BlockSpec((M, W0), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    cast = lambda k: packed[k].astype(cdtype)
+    shared_scratch = [
+        pltpu.VMEM((4, M, 128), cdtype),        # stage-1 haloed classes
+        pltpu.VMEM((M, KP1), cdtype),           # stage-1 patch
+        pltpu.VMEM((M, 768), cdtype),           # c1p (parity halves)
+    ]
+    if variant == "wide":
+        w2_key, w2_shape = "w2", (1152, 768)
+        stage2_scratch = [
+            pltpu.VMEM((M, 1536), cdtype),      # stage-2 4-view patch
+        ]
+    else:
+        w2_key, w2_shape = "w2t", (512, 256)
+        stage2_scratch = [
+            pltpu.VMEM((M, 512), cdtype),       # hE (16-lane halos)
+            pltpu.VMEM((M, 512), cdtype),       # hO
+            pltpu.VMEM((M, 512), cdtype),       # stage-2 tile patch
+        ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(N_pad // F,),
+        in_specs=[spec_in] * 4 + [
+            const((KP1, 128)), const((KP1, 128)), const((1, 384)),
+            const(w2_shape), const((1, 384)),
+            const((1152, 576)), const((1, 576)),
+            const((C3, emb)), const((1, emb)),
+        ],
+        out_specs=pl.BlockSpec((F, emb), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N_pad, emb), jnp.float32),
+        scratch_shapes=shared_scratch + stage2_scratch + [
+            pltpu.VMEM((M, 384), cdtype),       # c2
+            pltpu.VMEM((M, 1152), cdtype),      # stage-3 patch
+            pltpu.VMEM((M, 576), jnp.float32),  # c3 (f32 for mean/fc)
+        ],
+        interpret=interpret,
+    )(*parts, cast("w1e"), cast("w1o"), packed["b1"],
+      cast(w2_key), packed["b2"],
+      cast("w3"), packed["b3"], packed["fc_w"], packed["fc_b"])
+    return out[:N]

@@ -226,3 +226,27 @@ def test_predictor_warmup_precompiles_buckets():
     roi = np.zeros((7, 48, 96), np.uint8)
     p.predict_arrays(feats, roi)  # T=7 -> bucket 8: must be cache-hot
     assert p._fwd._cache_size() == misses0
+
+
+def test_predictor_fused_roi_impl_matches_default(rng):
+    """Predictor(roi_impl='fused') — the concrete-params pack happens once
+    in __post_init__ and rides the jit closure; predictions match the
+    default path."""
+    import jax
+
+    from silent_speech_tpu.models import bigru as model
+
+    cfg = model.BiGRUConfig(x_dim=12, num_classes=3, use_roi=True, hidden=8,
+                            roi_emb=4, head_hidden=8)
+    params = model.init_params(jax.random.PRNGKey(0), cfg)
+    labels = {0: "a", 1: "b", 2: "c"}
+    kw = dict(params=params, cfg=cfg, id_to_label=labels, max_t=20,
+              buckets=(20,))
+    base = Predictor(**kw)
+    fused = Predictor(roi_impl="fused", **kw)
+    feats = rng.standard_normal((9, 12)).astype(np.float32)
+    roi = rng.integers(0, 256, (9, 48, 96), dtype=np.uint8)
+    want = base.predict_arrays(feats, roi)
+    got = fused.predict_arrays(feats, roi)
+    assert got[0][0] == want[0][0]
+    assert abs(got[0][1] - want[0][1]) < 1e-4

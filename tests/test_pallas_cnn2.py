@@ -1,0 +1,118 @@
+"""Parity-packed fully-fused Pallas TinyROICNN (roi_impl='fused') vs the XLA
+reference path, interpret mode (ops/pallas_cnn2.py)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from silent_speech_tpu.models import bigru as model
+from silent_speech_tpu.models.bigru import (
+    init_roi_cnn,
+    preprocess_roi,
+    roi_cnn_forward,
+)
+from silent_speech_tpu.ops.pallas_cnn2 import (
+    pack_roi_cnn_fused,
+    pack_roi_cnn_fused_traceable,
+    roi_cnn_fused,
+)
+
+
+def _ref(params, roi_u8, standardize):
+    r = preprocess_roi(roi_u8[None], standardize)  # (1, N, H, W)
+    return np.asarray(roi_cnn_forward(params, r))[0]
+
+
+def test_fused2_cnn_matches_xla(rng):
+    params = init_roi_cnn(jax.random.PRNGKey(0))
+    packed = pack_roi_cnn_fused(params)
+    roi = rng.integers(0, 256, (32, 48, 96), dtype=np.uint8)
+    ref = _ref(params, jnp.asarray(roi), standardize=False)
+    got = np.asarray(roi_cnn_fused(jnp.asarray(roi), packed, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_fused2_cnn_standardize_path(rng):
+    params = init_roi_cnn(jax.random.PRNGKey(1))
+    packed = pack_roi_cnn_fused(params)
+    roi = rng.integers(0, 256, (16, 48, 96), dtype=np.uint8)
+    ref = _ref(params, jnp.asarray(roi), standardize=True)
+    got = np.asarray(
+        roi_cnn_fused(jnp.asarray(roi), packed, standardize=True,
+                      interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_fused2_cnn_ragged_batch(rng):
+    """N not divisible by the 16-frame tile (pad + slice back)."""
+    params = init_roi_cnn(jax.random.PRNGKey(2))
+    packed = pack_roi_cnn_fused(params)
+    roi = rng.integers(0, 256, (21, 48, 96), dtype=np.uint8)
+    ref = _ref(params, jnp.asarray(roi), standardize=False)
+    got = np.asarray(roi_cnn_fused(jnp.asarray(roi), packed, interpret=True))
+    assert got.shape == (21, 32)
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_fused2_traceable_pack_matches_numpy_pack():
+    """The jit-traceable scatter pack must produce the exact matrices the
+    host-side numpy pack does (forward packs inline under jit with it)."""
+    params = init_roi_cnn(jax.random.PRNGKey(3))
+    a = pack_roi_cnn_fused(params)
+    b = jax.jit(pack_roi_cnn_fused_traceable)(params)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
+
+
+def test_fused2_forward_roi_impl(rng):
+    """roi_impl='fused' through the full live forward (packs under jit)
+    matches the default path."""
+    mcfg = model.BiGRUConfig(x_dim=12, num_classes=5, use_roi=True,
+                             hidden=16, roi_emb=8)
+    params = model.init_params(jax.random.PRNGKey(4), mcfg)
+    B, T = 3, 18
+    X = jnp.asarray(rng.standard_normal((B, T, 12)).astype(np.float32))
+    lengths = jnp.asarray(np.array([18, 7, 12], np.int32))
+    roi = jnp.asarray(rng.integers(0, 256, (B, T, 48, 96), dtype=np.uint8))
+    want = np.asarray(model.live_forward(params, mcfg, X, lengths, roi))
+    got = np.asarray(
+        jax.jit(
+            lambda p, x, l, r: model.live_forward(p, mcfg, x, l, r,
+                                                  roi_impl="fused")
+        )(params, X, lengths, roi)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_fused2_bf16_mode(rng):
+    """bf16 serving mode: activations/weights bf16, f32 accumulation —
+    stays within bf16-epsilon-scale error of the f32 reference (the hard
+    gate for bf16 serving is argmax, tests/test_bf16_parity.py)."""
+    params = init_roi_cnn(jax.random.PRNGKey(5))
+    packed = pack_roi_cnn_fused(params)
+    roi = rng.integers(0, 256, (32, 48, 96), dtype=np.uint8)
+    ref = _ref(params, jnp.asarray(roi), standardize=False)
+    got = np.asarray(
+        roi_cnn_fused(jnp.asarray(roi), packed, interpret=True,
+                      compute_dtype=jnp.bfloat16)
+    )
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 0.02 * scale
+
+
+def test_fused2_tiled_variant(rng):
+    """The 'tiled' stage-2 variant (2.25x fewer packed MACs, 160-lane
+    slices) computes the same function as 'wide'."""
+    params = init_roi_cnn(jax.random.PRNGKey(6))
+    packed = pack_roi_cnn_fused(params)
+    roi = rng.integers(0, 256, (32, 48, 96), dtype=np.uint8)
+    ref = _ref(params, jnp.asarray(roi), standardize=False)
+    got = np.asarray(
+        roi_cnn_fused(jnp.asarray(roi), packed, interpret=True,
+                      variant="tiled")
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
