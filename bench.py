@@ -14,12 +14,21 @@ Methodology notes:
   model out of the loop.
 
 Prints exactly one JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+     "p50_frame_ms": N}
+
+The second field covers the other half of the stated rebuild metric
+(BASELINE.md:24 "clips/sec/chip; p50 per-frame inference latency"):
+p50_frame_ms is the median on-chip step time of a B=1 live forward — the
+work one new frame triggers in the reference's sliding-window live loop
+(/root/reference/inactive/live_feed.py:154-227 re-runs the full window
+forward per frame).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 from functools import partial
 
@@ -32,6 +41,9 @@ from jax import lax
 BASELINE_CLIPS_PER_SEC = 5000.0
 T = 32  # frames per clip (reference median clip length)
 ITERS = 50
+# SST_BENCH_QUICK=1: tiny shapes/iters — a smoke of the full code path
+# (incl. the p50 block) on slow backends; NOT a valid chip number
+_QUICK = bool(int(os.environ.get("SST_BENCH_QUICK", "0")))
 
 
 def main():
@@ -60,18 +72,37 @@ def main():
 
     rng = np.random.default_rng(0)
     best, best_B = 0.0, 0
-    for B in (256, 512, 1024):
+    iters = 4 if _QUICK else ITERS
+    for B in ((16,) if _QUICK else (256, 512, 1024)):
         X = jnp.asarray(rng.standard_normal((B, T, 180)).astype(np.float32))
         lengths = jnp.asarray(np.full((B,), T, np.int32))
         roi = jnp.asarray(rng.integers(0, 256, (B, T, 48, 96), dtype=np.uint8))
         float(loop_fwd(params, X, lengths, roi, 2))  # compile + warm
-        float(loop_fwd(params, X, lengths, roi, ITERS))  # warm the big loop
+        float(loop_fwd(params, X, lengths, roi, iters))  # warm the big loop
         t0 = time.perf_counter()
-        float(loop_fwd(params, X, lengths, roi, ITERS))
-        dt = (time.perf_counter() - t0) / ITERS
+        float(loop_fwd(params, X, lengths, roi, iters))
+        dt = (time.perf_counter() - t0) / iters
         cps = B / dt
         if cps > best:
             best, best_B = cps, B
+
+    # p50 per-frame latency: B=1 live forward, the per-frame work of the
+    # sliding-window live loop. Same chained-scan trick (each sample is one
+    # dispatch of a LAT_ITERS-step scan, so relay dispatch wall is amortized
+    # out and the number is the on-chip step time); p50 over repeats.
+    LAT_ITERS, LAT_REPS = (8, 3) if _QUICK else (64, 9)
+    X1 = jnp.asarray(rng.standard_normal((1, T, 180)).astype(np.float32))
+    l1 = jnp.asarray(np.full((1,), T, np.int32))
+    r1 = jnp.asarray(rng.integers(0, 256, (1, T, 48, 96), dtype=np.uint8))
+    float(loop_fwd(params, X1, l1, r1, 2))  # compile
+    float(loop_fwd(params, X1, l1, r1, LAT_ITERS))  # warm
+    samples = []
+    for _ in range(LAT_REPS):
+        t0 = time.perf_counter()
+        float(loop_fwd(params, X1, l1, r1, LAT_ITERS))
+        samples.append((time.perf_counter() - t0) / LAT_ITERS * 1e3)
+    p50_frame_ms = float(np.median(samples))
+
     print(
         json.dumps(
             {
@@ -79,23 +110,54 @@ def main():
                 "value": round(best, 1),
                 "unit": "clips/s",
                 "vs_baseline": round(best / BASELINE_CLIPS_PER_SEC, 3),
+                "p50_frame_ms": round(p50_frame_ms, 4),
             }
         )
     )
 
 
-if __name__ == "__main__":
+def _wait_for_backend() -> bool:
+    """Bounded retry window for a wedged device relay (VERDICT r3 weak 2).
+
+    A transient relay wedge at driver-snapshot time must not zero the whole
+    round's metric, so instead of one probe-and-exit we re-probe every
+    SST_BENCH_RETRY_INTERVAL_S (default 300 s) for up to
+    SST_BENCH_RETRY_WINDOW_S (default 2700 s) before giving up. Interactive
+    runs can set the window to 0 to restore fail-fast.
+    """
     import sys
 
     from __graft_entry__ import _backends_alive
 
-    if not _backends_alive():
-        # a wedged remote relay would hang the first device use forever —
-        # fail FAST and explained instead (no JSON line: a CPU fallback
-        # number would misrepresent the chip metric)
+    window = float(os.environ.get("SST_BENCH_RETRY_WINDOW_S", "2700"))
+    interval = float(os.environ.get("SST_BENCH_RETRY_INTERVAL_S", "300"))
+    deadline = time.monotonic() + window
+    if _backends_alive():
+        return True
+    while time.monotonic() < deadline:
+        left = deadline - time.monotonic()
         print(
-            "bench: backend init unresponsive (wedged device relay?) — "
-            "aborting rather than hanging; re-run when the relay is back",
+            f"bench: backend init unresponsive (wedged device relay?) — "
+            f"re-probing in {interval:.0f}s ({left / 60:.0f} min left in "
+            "the retry window)",
+            file=sys.stderr,
+        )
+        time.sleep(min(interval, max(left, 0.0)))
+        if _backends_alive():
+            print("bench: backend recovered — running", file=sys.stderr)
+            return True
+    return False
+
+
+if __name__ == "__main__":
+    import sys
+
+    if not _wait_for_backend():
+        # no JSON line: a CPU fallback number would misrepresent the chip
+        # metric — exit nonzero and explained instead of hanging forever
+        print(
+            "bench: backend init unresponsive for the whole retry window — "
+            "aborting; re-run when the relay is back",
             file=sys.stderr,
         )
         sys.exit(1)
