@@ -29,6 +29,7 @@ struct Entry {
     uint64_t comp_size = 0;
     uint64_t raw_size = 0;
     uint16_t method = 0;
+    uint32_t crc = 0;          // central-directory CRC-32 of the raw data
     uint64_t data_offset = 0;  // absolute offset of file data
 };
 
@@ -84,6 +85,7 @@ int parse_zip(const std::vector<uint8_t>& buf, std::vector<Entry>& entries) {
         if (p + 46 > buf.size() || rd32(&buf[p]) != 0x02014b50) return 1;
         Entry e;
         e.method = rd16(&buf[p + 10]);
+        e.crc = rd32(&buf[p + 16]);
         e.comp_size = rd32(&buf[p + 20]);
         e.raw_size = rd32(&buf[p + 24]);
         uint16_t name_len = rd16(&buf[p + 28]);
@@ -221,6 +223,13 @@ int load_found_entry(const std::vector<uint8_t>& zip, const Entry& e,
     } else {
         return kDeclined;  // exotic compression method: numpy may read it
     }
+    // CRC-32 check, matching Python zipfile semantics (BadZipFile on
+    // mismatch): without it a bit-flipped STORED payload would load as
+    // silent garbage here while the Python fallback raises — a
+    // native-vs-Python divergence (round-4 fuzz finding)
+    if ((uint32_t)crc32(crc32(0L, Z_NULL, 0), blob.data(),
+                        (uInt)blob.size()) != e.crc)
+        return kCorrupt;
     return parse_npy(std::move(blob), out);
 }
 

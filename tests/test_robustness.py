@@ -344,3 +344,115 @@ def test_zip64_fallback_needs_no_label(tmp_path):
     Xa, roi, lengths, _ = load_corpus_arrays([path], 40, 180, False)
     assert lengths[0] == 6
     np.testing.assert_allclose(Xa[0, :6], X, atol=1e-6)
+
+
+def _zip_member_data_offset(path, name):
+    """Absolute offset of a member's raw data (local header + name/extra)."""
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        info = zf.getinfo(name)
+        hdr_off = info.header_offset
+    blob = open(path, "rb").read()
+    name_len = int.from_bytes(blob[hdr_off + 26: hdr_off + 28], "little")
+    extra_len = int.from_bytes(blob[hdr_off + 28: hdr_off + 30], "little")
+    return hdr_off + 30 + name_len + extra_len
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_loader_truncated_central_directory(tmp_path, rng):
+    """A central directory cut short of the EOCD's entry count must be a
+    corrupt-container error (-2), never an out-of-bounds read."""
+    import zipfile
+
+    from silent_speech_tpu.data.native_loader import NativeLoaderError
+
+    path = str(tmp_path / "synth_yes_1700000000_0001.npz")
+    np.savez(path, X=rng.standard_normal((6, 180)).astype(np.float32))
+    blob = bytearray(open(path, "rb").read())
+    eocd = blob.rindex(b"PK\x05\x06")
+    # lie: EOCD claims 9 entries but the directory holds one
+    blob[eocd + 8: eocd + 10] = (9).to_bytes(2, "little")
+    blob[eocd + 10: eocd + 12] = (9).to_bytes(2, "little")
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(NativeLoaderError) as ei:
+        load_corpus_arrays([path], 20, 180, False)
+    assert ei.value.failures[0][1] == -2
+    # (Python's zipfile is LENIENT here — it walks the directory and stops
+    # at the first non-CD signature, ignoring the lying count. The native
+    # loader is deliberately stricter: a spec-violating container from an
+    # untrusted corpus fails loudly instead of being partially trusted.)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_loader_crc_mismatch_is_error(tmp_path, rng):
+    """A bit-flipped STORED payload parses structurally but fails CRC-32 —
+    the native loader must reject it like Python's zipfile does, never load
+    silent garbage (round-4 divergence fix)."""
+    import zipfile
+
+    from silent_speech_tpu.data.native_loader import NativeLoaderError
+
+    X = rng.standard_normal((6, 180)).astype(np.float32)
+    import io
+
+    buf = io.BytesIO()
+    np.lib.format.write_array(buf, X)
+    path = str(tmp_path / "synth_yes_1700000000_0002.npz")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("X.npy", buf.getvalue())
+    off = _zip_member_data_offset(path, "X.npy")
+    blob = bytearray(open(path, "rb").read())
+    blob[off + 400] ^= 0x40  # deep in the float payload, headers untouched
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(NativeLoaderError) as ei:
+        load_corpus_arrays([path], 20, 180, False)
+    assert ei.value.failures[0][1] == -3
+    with pytest.raises(zipfile.BadZipFile):  # Python names the same corruption
+        with zipfile.ZipFile(path) as zf:
+            zf.read("X.npy")
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_loader_exotic_method_falls_back_named(tmp_path, rng):
+    """A member with an exotic compression method (bzip2=12) is DECLINED
+    (-7) and routed to the numpy fallback; when numpy can't read it either,
+    the failure is named per-file, never a crash or silent zeros."""
+    import zipfile
+
+    from silent_speech_tpu.data.native_loader import NativeLoaderError
+
+    path = str(tmp_path / "synth_yes_1700000000_0003.npz")
+    np.savez(path, X=rng.standard_normal((6, 180)).astype(np.float32))
+    with zipfile.ZipFile(path) as zf:
+        hdr_off = zf.getinfo("X.npy").header_offset
+    blob = bytearray(open(path, "rb").read())
+    blob[hdr_off + 8: hdr_off + 10] = (12).to_bytes(2, "little")  # local hdr
+    cd = blob.rindex(b"PK\x01\x02")
+    blob[cd + 10: cd + 12] = (12).to_bytes(2, "little")  # central dir
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(NativeLoaderError) as ei:
+        load_corpus_arrays([path], 20, 180, False)
+    p, code, reason = ei.value.failures[0]
+    assert code == -7 and "numpy fallback failed" in reason
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_loader_garbage_deflate_stream(tmp_path, rng):
+    """A structurally valid DEFLATE member whose compressed bytes are
+    garbage must fail inflate as a named -3, not crash zlib."""
+    import zipfile
+
+    from silent_speech_tpu.data.native_loader import NativeLoaderError
+
+    path = str(tmp_path / "synth_yes_1700000000_0004.npz")
+    np.savez_compressed(path, X=rng.standard_normal((64, 180))
+                        .astype(np.float32))
+    off = _zip_member_data_offset(path, "X.npy")
+    blob = bytearray(open(path, "rb").read())
+    for i in range(16):  # shred the deflate stream body
+        blob[off + 32 + i] ^= 0xA5
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(NativeLoaderError) as ei:
+        load_corpus_arrays([path], 80, 180, False)
+    assert ei.value.failures[0][1] == -3
