@@ -165,3 +165,36 @@ def test_native_loader_dim_tolerance(tmp_path):
     Xo2, _, _, _ = load_corpus_arrays(
         [str(tmp_path / "me_yes_1_0000.npz")], 8, 7, False)
     np.testing.assert_array_equal(Xo2[0, :6], X[:, :7])
+
+
+def test_play_audio_spawns_player_on_real_asset(monkeypatch):
+    """The easter-egg assets exist (audios/fahhhh.mp3, vine-boom.mp3 --
+    live_infer_official.py:59-65) and play_audio launches a player on them.
+    No player binary ships in CI, so the spawn is captured via monkeypatch;
+    the files themselves are checked for a valid MP3 sync header."""
+    import os
+
+    from silent_speech_tpu.apps.live import BOOM_PATH, FAH_PATH
+    from silent_speech_tpu.runtime import capture
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(capture.__file__)))
+    repo = os.path.dirname(repo)  # silent_speech_tpu/ -> repo root
+    spawned = []
+
+    class _FakeProc:
+        pass
+
+    monkeypatch.setattr(capture.shutil, "which",
+                        lambda name: name == "afplay" or None)
+    monkeypatch.setattr(capture.subprocess, "Popen",
+                        lambda cmd: (spawned.append(cmd), _FakeProc())[1])
+    for rel in (FAH_PATH, BOOM_PATH):
+        path = os.path.join(repo, rel)
+        assert os.path.isfile(path), rel
+        with open(path, "rb") as f:
+            head = f.read(2)
+        assert head[0] == 0xFF and (head[1] & 0xE0) == 0xE0, "not an MP3 frame"
+        proc = capture.play_audio(path)
+        assert proc is not None
+    assert [c[0] for c in spawned] == ["afplay", "afplay"]
+    assert spawned[0][-1].endswith("fahhhh.mp3")
