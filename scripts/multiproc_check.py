@@ -27,10 +27,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_PROCESSES = 2
 DEVICES_PER_PROCESS = 2
 N_STEPS = 3
-B, T = 8, 16
+T = 16
 
 
-def _run_steps(mesh):
+def _run_steps(mesh, B):
     """A few deterministic sharded train steps; returns host param leaves."""
     import jax
 
@@ -82,7 +82,10 @@ def worker(args):
     from silent_speech_tpu.parallel.multihost import make_multislice_mesh
 
     mesh = make_multislice_mesh(dcn_axis=args.dcn, model=1)
-    leaves, loss = _run_steps(mesh)
+    # batch scales with the data-sharding ways (2 examples per way) so the
+    # same script validates 2-, 4-, and 8-process topologies
+    B = 2 * args.dcn * DEVICES_PER_PROCESS
+    leaves, loss = _run_steps(mesh, B)
     if args.num_processes <= 1 or jax.process_index() == 0:
         np.savez(args.out, loss=np.float64(loss),
                  **{f"l{i}": a for i, a in enumerate(leaves)})
