@@ -86,3 +86,24 @@ def test_predictor_bf16_serving_mode(trained):
     b = p16.predict_batch(X, L, R)
     np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
     assert np.abs(a - b).max() < LOGIT_TOL
+
+
+def test_fused_cnn_serving_modes_on_trained_model(trained):
+    """roi_impl='fused' on a TRAINED model: f32 must hold the 1e-3 logit
+    bar vs the default path; fused-bf16 must hold the bf16 guardrail
+    (argmax equal + LOGIT_TOL) — the same contract the XLA bf16 mode pins."""
+    result, corpus, _ = trained
+    params, mcfg = result["params"], result["model_config"]
+    X, L, R = _corpus_batch(corpus, mcfg, max_t=48)
+    args = (jnp.asarray(X), jnp.asarray(L), jnp.asarray(R))
+
+    f32 = np.asarray(model.live_forward(params, mcfg, *args))
+    fused = np.asarray(model.live_forward(params, mcfg, *args,
+                                          roi_impl="fused"))
+    np.testing.assert_array_equal(f32.argmax(-1), fused.argmax(-1))
+    assert np.abs(f32 - fused).max() < 1e-3
+
+    fused16 = np.asarray(model.live_forward(
+        params, mcfg, *args, roi_impl="fused", compute_dtype=jnp.bfloat16))
+    np.testing.assert_array_equal(f32.argmax(-1), fused16.argmax(-1))
+    assert np.abs(f32 - fused16).max() < LOGIT_TOL
