@@ -28,8 +28,24 @@ from ..runtime.capture import (
 
 import jax.numpy as jnp
 
-FAH_PATH = "audios/fahhhh.mp3"
-BOOM_PATH = "audios/vine-boom.mp3"
+
+def _audio_asset(name: str) -> str:
+    """Resolve an easter-egg sound (live_infer_official.py:59-65). The
+    reference uses cwd-relative 'audios/...' paths and so only works when
+    launched from the repo root; prefer the repo-anchored copy shipped in
+    audios/ and keep the cwd-relative form as the fallback so a user's own
+    ./audios/ still wins when the shipped one is absent."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    anchored = os.path.join(repo, "audios", name)
+    return anchored if os.path.isfile(anchored) else os.path.join(
+        "audios", name)
+
+
+FAH_PATH = _audio_asset("fahhhh.mp3")
+BOOM_PATH = _audio_asset("vine-boom.mp3")
 
 
 def _roi_frame(frame_bgr, center, scale, cfg, mode="area"):

@@ -205,7 +205,9 @@ def _roi_cnn_kernel(standardize: bool,
         fsum = jnp.dot(sf, rowsum, preferred_element_type=jnp.float32)  # (F, 1)
         fsq = jnp.dot(sf, rowsq, preferred_element_type=jnp.float32)
         mu = fsum / n_px
-        var = (fsq - fsum * fsum / n_px) / (n_px - 1)
+        # clamp: the E[x^2]-E[x]^2 form can go slightly negative in f32 on a
+        # constant frame — sqrt would NaN and poison the tile
+        var = jnp.maximum(fsq - fsum * fsum / n_px, 0.0) / (n_px - 1)
         inv = 1.0 / jnp.maximum(jnp.sqrt(var), 1e-6)
         mu_b = jnp.dot(sf.T, mu, preferred_element_type=jnp.float32)  # (F*H1, 1)
         inv_b = jnp.dot(sf.T, inv, preferred_element_type=jnp.float32)

@@ -77,101 +77,38 @@ _DEBUG_STOP_AFTER = None
 # host-side weight packing
 # ----------------------------------------------------------------------------
 
-def _pack_stage1(k: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """conv0 (3,3,1,8) HWIO -> (WE, WO) each (104, 128).
-
-    Column (t*8+co) is pooled-w position t of a 16-wide tile; row
-    dy*34 + local is the patch lane (local w offset 2t+dx within the
-    34-lane haloed j-tile slice). WE covers conv w=2t_global, WO w=2t+1.
-    """
-    k = np.asarray(k, np.float32)
-    WE = np.zeros((KP1, 128), np.float32)
-    WO = np.zeros((KP1, 128), np.float32)
-    for t in range(16):
-        for co in range(8):
-            col = t * 8 + co
-            for dy in range(3):
-                for dx in range(3):
-                    WE[dy * 34 + 2 * t + dx, col] = k[dy, dx, 0, co]
-                    WO[dy * 34 + 2 * t + 1 + dx, col] = k[dy, dx, 0, co]
-    return WE, WO
-
-
-def _pack_stage2(k: np.ndarray) -> np.ndarray:
-    """conv1 (3,3,8,16) -> one (1152, 768) full-width matrix [W2E | W2O].
-
-    Row = dy*384 + w_in*8 + ci over the whole 48-w stage-1 span; column =
-    q*16 + co for pooled output w2=q in the even half (conv w=2q, taps
-    w_in = 2q-1+dx) and 384 + q*16 + co in the odd half (conv w=2q+1, taps
-    w_in = 2q+dx). Out-of-range taps are simply not placed = SAME zero
-    padding, so no w halo buffer is needed; both w-parities ride one dot.
-    """
-    k = np.asarray(k, np.float32)
-    W2 = np.zeros((3 * W1P * C1, 2 * W2P * C2), np.float32)
-    for dy in range(3):
-        for q in range(W2P):
-            for dx in range(3):
-                we_w = 2 * q - 1 + dx
-                wo_w = 2 * q + dx
-                for ci in range(C1):
-                    for co in range(C2):
-                        col = q * C2 + co
-                        if 0 <= we_w < W1P:
-                            W2[dy * 384 + we_w * C1 + ci, col] = k[dy, dx, ci, co]
-                        if 0 <= wo_w < W1P:
-                            W2[dy * 384 + wo_w * C1 + ci,
-                               384 + col] = k[dy, dx, ci, co]
-    return W2
-
-
-def _pack_stage2_tiled(k: np.ndarray) -> np.ndarray:
-    """conv1 (3,3,8,16) -> (512, 256) tile matrix for the 'tiled' stage-2
-    variant: 2.25x fewer packed MACs than full-width, paid for with three
-    160-lane patch slices per dy view (from 16-lane-haloed buffers).
-
-    The j-th tile computes pooled w2 = 8j..8j+7 from input w_in in
-    [16j-2, 16j+18); rows are dy*160 + l*8 + ci with l = w_in - (16j-2),
-    cols are q_off*16 + co (even conv w, taps l = 2*q_off+1+dx) in [0:128)
-    and 128 + q_off*16 + co (odd, taps l = 2*q_off+2+dx). The same matrix
-    serves every j — frame-edge zeros live in the halo buffer, not the
-    weights.
-    """
-    k = np.asarray(k, np.float32)
-    W = np.zeros((512, 256), np.float32)
-    for dy in range(3):
-        for q_off in range(8):
-            for dx in range(3):
-                for ci in range(C1):
-                    for co in range(C2):
-                        col = q_off * C2 + co
-                        le = 2 * q_off + 1 + dx
-                        lo = 2 * q_off + 2 + dx
-                        W[dy * 160 + le * C1 + ci, col] = k[dy, dx, ci, co]
-                        W[dy * 160 + lo * C1 + ci, 128 + col] = k[dy, dx, ci, co]
-    return W
-
-
-def _pack_stage3(k: np.ndarray) -> np.ndarray:
-    """conv2 (3,3,16,24) -> (1152, 576), full-width (no pool after)."""
-    k = np.asarray(k, np.float32)
-    W3 = np.zeros((3 * W2P * C2, W2P * C3), np.float32)
-    for dy in range(3):
-        for w in range(W2P):
-            for dx in range(3):
-                wi = w - 1 + dx
-                if not 0 <= wi < W2P:
-                    continue
-                for ci in range(C2):
-                    for co in range(C3):
-                        W3[dy * 384 + wi * C2 + ci, w * C3 + co] = k[dy, dx, ci, co]
-    return W3
+_PACK_SHAPES = (
+    (KP1, 128),                    # w1e: stage-1 parity, even conv w
+    (KP1, 128),                    # w1o: stage-1 parity, odd conv w
+    (3 * W1P * C1, 2 * W2P * C2),  # w2:  stage-2 full-width [W2E | W2O]
+    (512, 256),                    # w2t: stage-2 tiled [even | odd]
+    (3 * W2P * C2, W2P * C3),      # w3:  stage-3 full-width
+)
+_PACK_SRC = ("conv0", "conv0", "conv1", "conv1", "conv2")
 
 
 @functools.lru_cache(maxsize=None)
 def _pack_indices():
-    """Static scatter indices for the traceable pack: per packed matrix, the
-    (rows, cols, flat_src) triples mapping HWIO weight entries to their
-    packed positions. Geometry-only, computed once."""
+    """THE single definition of the packing geometry: per packed matrix, the
+    (rows, cols, flat_src) triples mapping HWIO weight entries to packed
+    positions. Both pack functions scatter with these (numpy for concrete
+    params, jnp for tracers), so the geometry cannot diverge between them.
+
+    - w1e/w1o (stage-1 parity, (104, 128)): column t*8+co is pooled-w
+      position t of a 16-wide j-tile; row dy*34 + (2t+dx [+1 for odd]) is
+      the patch lane within the 34-lane haloed tile slice. w1e covers conv
+      w=2t, w1o w=2t+1.
+    - w2 (stage-2 full-width, (1152, 768) = [W2E | W2O]): row = dy*384 +
+      w_in*8 + ci over the whole 48-w span; column q*16+co (even half,
+      conv w=2q, taps w_in=2q-1+dx) or 384+q*16+co (odd, taps 2q+dx);
+      out-of-range taps are not placed = SAME zero padding, no halo needed.
+    - w2t (stage-2 tiled, (512, 256) = [even | odd]): the j-th tile computes
+      pooled w2=8j..8j+7 from w_in in [16j-2, 16j+18); rows dy*160 + l*8+ci
+      with l = w_in-(16j-2); the same matrix serves every j — edge zeros
+      live in the 16-lane halo buffers, not the weights.
+    - w3 (stage-3 full-width, (1152, 576)): rows dy*384 + w_in*16 + ci,
+      cols w*24+co, taps w_in = w-1+dx (no pool after conv3).
+    """
     s1e, s1o = [], []
     for t in range(16):
         for co in range(8):
@@ -228,14 +165,10 @@ def pack_roi_cnn_fused_traceable(params: dict) -> dict:
     ``forward(roi_impl='fused')`` can pack inline under jit. Negligible
     per-call cost (~10k-element scatters); precompute with the numpy pack
     when params are concrete (Predictor does)."""
-    idx = _pack_indices()
-    shapes = [(KP1, 128), (KP1, 128), (3 * W1P * C1, 2 * W2P * C2),
-              (512, 256), (3 * W2P * C2, W2P * C3)]
-    srcs = [params["conv0"]["w"], params["conv0"]["w"], params["conv1"]["w"],
-            params["conv1"]["w"], params["conv2"]["w"]]
     mats = []
-    for (rows, cols, flat), shape, k in zip(idx, shapes, srcs):
-        kf = jnp.asarray(k, jnp.float32).reshape(-1)
+    for (rows, cols, flat), shape, src in zip(_pack_indices(), _PACK_SHAPES,
+                                              _PACK_SRC):
+        kf = jnp.asarray(params[src]["w"], jnp.float32).reshape(-1)
         mats.append(jnp.zeros(shape, jnp.float32).at[rows, cols].set(kf[flat]))
     w1e, w1o, w2, w2t, w3 = mats
     tile = lambda b, n: jnp.tile(jnp.asarray(b, jnp.float32), n)[None, :]
@@ -250,19 +183,24 @@ def pack_roi_cnn_fused_traceable(params: dict) -> dict:
 
 def pack_roi_cnn_fused(params: dict) -> dict:
     """TinyROICNN param pytree (models/bigru.py layout) -> packed operands.
-    Cheap; do once per loaded checkpoint."""
-    w1e, w1o = _pack_stage1(np.asarray(params["conv0"]["w"]))
-    w2 = _pack_stage2(np.asarray(params["conv1"]["w"]))
-    w2t = _pack_stage2_tiled(np.asarray(params["conv1"]["w"]))
-    w3 = _pack_stage3(np.asarray(params["conv2"]["w"]))
+    Cheap (host-side numpy scatter over the shared _pack_indices geometry);
+    do once per loaded checkpoint."""
+    mats = []
+    for (rows, cols, flat), shape, src in zip(_pack_indices(), _PACK_SHAPES,
+                                              _PACK_SRC):
+        kf = np.asarray(params[src]["w"], np.float32).reshape(-1)
+        W = np.zeros(shape, np.float32)
+        W[rows, cols] = kf[flat]  # (row, col) pairs are unique per matrix
+        mats.append(jnp.asarray(W))
+    w1e, w1o, w2, w2t, w3 = mats
     tile = lambda b, n: np.tile(np.asarray(b, np.float32), n)[None, :]
     return {
-        "w1e": jnp.asarray(w1e), "w1o": jnp.asarray(w1o),
+        "w1e": w1e, "w1o": w1o,
         "b1": jnp.asarray(tile(params["conv0"]["b"], W1P)),      # (1, 384)
-        "w2": jnp.asarray(w2),                                   # (1152, 768)
-        "w2t": jnp.asarray(w2t),                                 # (512, 256)
+        "w2": w2,                                                # (1152, 768)
+        "w2t": w2t,                                              # (512, 256)
         "b2": jnp.asarray(tile(params["conv1"]["b"], W2P)),      # (1, 384)
-        "w3": jnp.asarray(w3),
+        "w3": w3,
         "b3": jnp.asarray(tile(params["conv2"]["b"], W2P)),      # (1, 576)
         "fc_w": jnp.asarray(np.asarray(params["fc"]["w"], np.float32)),
         "fc_b": jnp.asarray(np.asarray(params["fc"]["b"], np.float32)[None, :]),
@@ -326,7 +264,10 @@ def _roi_fused_kernel(standardize: bool, variant: str,
             fsq = fsq + jnp.dot(sf, jnp.sum(x * x, axis=1, keepdims=True),
                                 preferred_element_type=jnp.float32)
         mu = fsum / n_px
-        var = (fsq - fsum * fsum / n_px) / (n_px - 1)
+        # clamp: the E[x^2]-E[x]^2 form can go slightly NEGATIVE in f32 on a
+        # constant frame (covered/saturated camera) — sqrt would NaN and the
+        # selector broadcast (0*NaN) would poison the whole 16-frame tile
+        var = jnp.maximum(fsq - fsum * fsum / n_px, 0.0) / (n_px - 1)
         inv = 1.0 / jnp.maximum(jnp.sqrt(var), 1e-6)
         mu_b = jnp.dot(sf.T, mu, preferred_element_type=jnp.float32)
         inv_b = jnp.dot(sf.T, inv, preferred_element_type=jnp.float32)

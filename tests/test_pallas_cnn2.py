@@ -116,3 +116,24 @@ def test_fused2_tiled_variant(rng):
                       variant="tiled")
     )
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_fused2_constant_frame_standardize_stays_finite(rng):
+    """A constant (covered/saturated-camera) frame must not NaN-poison its
+    16-frame tile: the in-kernel E[x^2]-E[x]^2 variance can go slightly
+    negative in f32 and needs the clamp before sqrt (round-4 review fix).
+    The constant frame itself amplifies f32 rounding by the 1e-6 std floor,
+    so only the OTHER frames are compared numerically."""
+    params = init_roi_cnn(jax.random.PRNGKey(7))
+    packed = pack_roi_cnn_fused(params)
+    roi = rng.integers(0, 256, (16, 48, 96), dtype=np.uint8)
+    roi[3] = 128  # constant gray frame
+    roi[11] = 255  # saturated white frame
+    got = np.asarray(
+        roi_cnn_fused(jnp.asarray(roi), packed, standardize=True,
+                      interpret=True)
+    )
+    assert np.isfinite(got).all()
+    ref = _ref(params, jnp.asarray(roi), standardize=True)
+    keep = [i for i in range(16) if i not in (3, 11)]
+    np.testing.assert_allclose(got[keep], ref[keep], atol=2e-3, rtol=1e-3)

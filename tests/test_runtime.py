@@ -177,8 +177,6 @@ def test_play_audio_spawns_player_on_real_asset(monkeypatch):
     from silent_speech_tpu.apps.live import BOOM_PATH, FAH_PATH
     from silent_speech_tpu.runtime import capture
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(capture.__file__)))
-    repo = os.path.dirname(repo)  # silent_speech_tpu/ -> repo root
     spawned = []
 
     class _FakeProc:
@@ -188,9 +186,10 @@ def test_play_audio_spawns_player_on_real_asset(monkeypatch):
                         lambda name: name == "afplay" or None)
     monkeypatch.setattr(capture.subprocess, "Popen",
                         lambda cmd: (spawned.append(cmd), _FakeProc())[1])
-    for rel in (FAH_PATH, BOOM_PATH):
-        path = os.path.join(repo, rel)
-        assert os.path.isfile(path), rel
+    # the paths live.py actually passes must exist regardless of cwd
+    for path in (FAH_PATH, BOOM_PATH):
+        assert os.path.isabs(path), path
+        assert os.path.isfile(path), path
         with open(path, "rb") as f:
             head = f.read(2)
         assert head[0] == 0xFF and (head[1] & 0xE0) == 0xE0, "not an MP3 frame"
