@@ -137,3 +137,27 @@ def test_fused2_constant_frame_standardize_stays_finite(rng):
     ref = _ref(params, jnp.asarray(roi), standardize=True)
     keep = [i for i in range(16) if i not in (3, 11)]
     np.testing.assert_allclose(got[keep], ref[keep], atol=2e-3, rtol=1e-3)
+
+
+def test_fused2_sharded_predictor_matches_base(rng):
+    """roi_impl='fused' composes with Predictor.shard on a data mesh (the
+    eval-dataset mesh_shape path): GSPMD partitions the batch around the
+    Pallas call; logits match the unsharded default path."""
+    from silent_speech_tpu.infer.predictor import Predictor
+    from silent_speech_tpu.parallel.mesh import make_mesh
+
+    cfg = model.BiGRUConfig(x_dim=12, num_classes=3, use_roi=True, hidden=8,
+                            roi_emb=4, head_hidden=8)
+    params = model.init_params(jax.random.PRNGKey(8), cfg)
+    labels = {0: "a", 1: "b", 2: "c"}
+    X = rng.standard_normal((11, 20, 12)).astype(np.float32)
+    L = np.full((11,), 20, np.int32)
+    R = rng.integers(0, 256, (11, 20, 48, 96), dtype=np.uint8)
+    base = Predictor(params=params, cfg=cfg, id_to_label=labels, max_t=20,
+                     buckets=(20,))
+    want = base.predict_batch(X, L, R)
+    p = Predictor(params=params, cfg=cfg, id_to_label=labels, max_t=20,
+                  buckets=(20,), roi_impl="fused")
+    p = p.shard(make_mesh(jax.devices("cpu"), data=8))
+    got = p.predict_batch(X, L, R)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
