@@ -94,6 +94,12 @@ def test_trained_golden_corpus_parity(tmp_path):
     np.testing.assert_allclose(ours, ref_logits, atol=1e-3, rtol=1e-4)
     assert (ours.argmax(-1) == ref_logits.argmax(-1)).all()
 
+    # the fused Pallas CNN path must hold the same bar on REAL torch weights
+    fused = Predictor.from_torch_checkpoint(golden, roi_impl="fused")
+    ours_f = fused.predict_batch(X, L.astype(np.int32), R)
+    np.testing.assert_allclose(ours_f, ref_logits, atol=1e-3, rtol=1e-4)
+    assert (ours_f.argmax(-1) == ref_logits.argmax(-1)).all()
+
     # the trained golden must have learned something (sanity: beats chance)
     acc = float((ref_logits.argmax(-1) == y).mean())
     assert acc > 0.3
