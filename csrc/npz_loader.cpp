@@ -226,7 +226,8 @@ int load_found_entry(const std::vector<uint8_t>& zip, const Entry& e,
     // CRC-32 check, matching Python zipfile semantics (BadZipFile on
     // mismatch): without it a bit-flipped STORED payload would load as
     // silent garbage here while the Python fallback raises — a
-    // native-vs-Python divergence (round-4 fuzz finding)
+    // native-vs-Python divergence (round-4 fuzz finding). Measured cost:
+    // 2.4% on a 500-clip ROI corpus (A/B, 1-core host)
     if ((uint32_t)crc32(crc32(0L, Z_NULL, 0), blob.data(),
                         (uInt)blob.size()) != e.crc)
         return kCorrupt;
