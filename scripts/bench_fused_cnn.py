@@ -18,6 +18,9 @@ packed shapes, VMEM-resident, chained inside one jit.
 
 from __future__ import annotations
 
+import sys as _sys, pathlib as _pathlib  # _REPO_ROOT_BOOTSTRAP: run without PYTHONPATH
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import functools
 import sys
 import time

@@ -7,6 +7,9 @@ Usage: python scripts/bench_fwd_variants.py [iters]
 
 from __future__ import annotations
 
+import sys as _sys, pathlib as _pathlib  # _REPO_ROOT_BOOTSTRAP: run without PYTHONPATH
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import sys
 import time
 from functools import partial

@@ -14,6 +14,9 @@ The parent prints MULTIPROC OK on success (exit 0), raises otherwise.
 
 from __future__ import annotations
 
+import sys as _sys, pathlib as _pathlib  # _REPO_ROOT_BOOTSTRAP: run without PYTHONPATH
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import argparse
 import os
 import socket

@@ -15,6 +15,9 @@ Writes docs/precision_bisect.json and prints a human-readable table.
 
 from __future__ import annotations
 
+import sys as _sys, pathlib as _pathlib  # _REPO_ROOT_BOOTSTRAP: run without PYTHONPATH
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import glob
 import json
 import sys

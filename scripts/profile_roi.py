@@ -9,6 +9,9 @@ Usage: python scripts/profile_roi.py [--trace DIR] [--iters N]
 
 from __future__ import annotations
 
+import sys as _sys, pathlib as _pathlib  # _REPO_ROOT_BOOTSTRAP: run without PYTHONPATH
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import argparse
 import time
 from functools import partial

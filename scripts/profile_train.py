@@ -11,6 +11,9 @@ Usage: python scripts/profile_train.py [--trace DIR] [--dtype f32|bf16]
 
 from __future__ import annotations
 
+import sys as _sys, pathlib as _pathlib  # _REPO_ROOT_BOOTSTRAP: run without PYTHONPATH
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import argparse
 import glob
 import gzip

@@ -15,6 +15,9 @@ Usage: python scripts/proto_gru3.py [B] [T]
 
 from __future__ import annotations
 
+import sys as _sys, pathlib as _pathlib  # _REPO_ROOT_BOOTSTRAP: run without PYTHONPATH
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import functools
 import sys
 import time

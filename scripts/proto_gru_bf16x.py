@@ -10,6 +10,9 @@ Usage: PYTHONPATH=.:$PYTHONPATH python scripts/proto_gru_bf16x.py
 
 from __future__ import annotations
 
+import sys as _sys, pathlib as _pathlib  # _REPO_ROOT_BOOTSTRAP: run without PYTHONPATH
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import json
 import time
 from functools import partial

@@ -10,6 +10,9 @@ reshape to (N, 24, 48, 8) is then pure metadata — the XLA interleave (measured
 
 from __future__ import annotations
 
+import sys as _sys, pathlib as _pathlib  # _REPO_ROOT_BOOTSTRAP: run without PYTHONPATH
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import functools
 import time
 

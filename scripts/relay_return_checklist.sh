@@ -13,6 +13,7 @@
 # in bench.py + Predictor only if it beats grouped by >=1.2x e2e).
 set -u
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 OUT=build/relay_return
 mkdir -p "$OUT"
 

@@ -17,6 +17,9 @@ Usage: python scripts/soak_scale.py [--clips-per-word N] [--epochs N]
 
 from __future__ import annotations
 
+import sys as _sys, pathlib as _pathlib  # _REPO_ROOT_BOOTSTRAP: run without PYTHONPATH
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import os

@@ -13,6 +13,9 @@ Usage: python scripts/tpu_parity_check.py
 
 from __future__ import annotations
 
+import sys as _sys, pathlib as _pathlib  # _REPO_ROOT_BOOTSTRAP: run without PYTHONPATH
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import glob
 import json
 import tempfile
