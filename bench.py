@@ -52,6 +52,22 @@ def main():
     mcfg = model.BiGRUConfig(x_dim=180, num_classes=10, use_roi=True)
     params = model.init_params(jax.random.PRNGKey(0), mcfg)
 
+    # roi_impl='fused' (parity-packed single-program Pallas CNN, tiled
+    # stage 2) measured 1.42x over 'grouped' e2e at the same <=1e-3 parity
+    # bar (scripts/bench_fused_cnn.py 2026-08-18; fidelity row
+    # fused/scan/f32/parity = 8.76e-4 in scripts/tpu_parity_check.py).
+    # Pack once on host so the scan body reuses the packed weights instead
+    # of re-packing per iteration. CPU fallback keeps the XLA path: the
+    # fused kernel only interprets off-TPU (hours in SST_BENCH_QUICK even).
+    from silent_speech_tpu.ops.pallas_cnn2 import pack_roi_cnn_fused
+    from silent_speech_tpu.ops.pallas_gru import default_interpret
+
+    on_tpu = not default_interpret()
+    roi_impl = "fused" if on_tpu else "grouped"
+    roi_packed = (pack_roi_cnn_fused(jax.tree.map(np.asarray,
+                                                  params["roi_cnn"]))
+                  if on_tpu else None)
+
     @partial(jax.jit, static_argnames=("iters",))
     def loop_fwd(params, X, lengths, roi, iters):
         def body(carry, _):
@@ -60,7 +76,9 @@ def main():
             # on-chip fidelity bar are the SAME mode (docs/PRECISION.md;
             # ~1.5% below default-precision throughput)
             logits = model.live_forward(params, mcfg, Xc, lengths, Rc,
-                                        roi_impl="grouped",
+                                        roi_impl=roi_impl,
+                                        roi_packed=roi_packed,
+                                        roi_variant="tiled",
                                         matmul_precision="parity")
             # runtime-zero feedback: keeps every iteration live and distinct
             eps = logits[0, 0] * 1e-30

@@ -105,8 +105,17 @@ def probe_mxu():
         (512, 512, 512, "square 512"),
         (1024, 1024, 1024, "square 1024"),
     ):
-        r = mxu_rate(M, K, N)
+        # the 64-rep unrolled roll+dot chain keeps several rolled copies
+        # live on the VMEM stack; big squares can exceed the 16M scoped
+        # limit — report and continue rather than killing the e2e rows.
+        try:
+            r = mxu_rate(M, K, N)
+        except Exception as e:  # noqa: BLE001 - report any compile failure
+            print(f"  ({M:5d},{K:5d},{N:5d}) {tag:20s}: FAILED "
+                  f"({type(e).__name__}: {str(e)[:80]}...)")
+            continue
         print(f"  ({M:5d},{K:5d},{N:5d}) {tag:20s}: {r:6.1f} T MAC/s")
+    sys.stdout.flush()
 
 
 # ----------------------------------------------------------------------------
@@ -180,15 +189,26 @@ def main():
     lengths = jnp.asarray(np.full((B,), T, np.int32))
     roi4 = roi.reshape(B, T, 48, 96)
 
-    for impl in ("grouped", "fused"):
+    for impl, variant, cdt in (
+        ("grouped", "-", jnp.float32),
+        ("fused", "wide", jnp.float32),
+        ("fused", "tiled", jnp.float32),
+        ("grouped", "-", jnp.bfloat16),
+        ("fused", "wide", jnp.bfloat16),
+        ("fused", "tiled", jnp.bfloat16),
+    ):
         def fwd(X, roi4):
             return model.live_forward(
                 params, mcfg, X, lengths, roi4, roi_impl=impl,
                 roi_packed=packed if impl == "fused" else None,
+                roi_variant=variant if impl == "fused" else "wide",
+                compute_dtype=cdt,
                 matmul_precision="parity")
         t = timed(fwd, (X, roi4))
-        print(f"e2e live fwd ({impl:7s}, parity): {t:6.2f} ms "
-              f"-> {B * ITERS / (t * ITERS / 1e3):8.0f} clips/s")
+        dt_tag = "bf16" if cdt == jnp.bfloat16 else "f32"
+        print(f"e2e live fwd ({impl:7s}/{variant:5s} {dt_tag:4s}, parity): "
+              f"{t:6.2f} ms -> {B * ITERS / (t * ITERS / 1e3):8.0f} clips/s")
+        sys.stdout.flush()
 
 
 if __name__ == "__main__":

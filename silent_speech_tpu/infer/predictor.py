@@ -53,9 +53,17 @@ class Predictor:
     min_frames: int = 5
     buckets: tuple[int, ...] = (16, 32, 64, 90)
     compute_dtype: str = "float32"  # "bfloat16" = fast serving mode
-    # 'xla' | 'grouped' | 'pallas' | 'fused' (parity-packed single-program
-    # Pallas CNN, ops/pallas_cnn2.py)
-    roi_impl: str = "xla"
+    # 'auto' | 'xla' | 'grouped' | 'pallas' | 'fused' (parity-packed
+    # single-program Pallas CNN, ops/pallas_cnn2.py). 'auto' resolves to
+    # 'fused' when serving on a real TPU (measured 1.42x over 'grouped'
+    # e2e at the same <=1e-3 parity bar, scripts/bench_fused_cnn.py
+    # 2026-08-18) and to 'xla' elsewhere (off-TPU the Pallas kernel only
+    # runs in interpret mode, which is orders of magnitude slower).
+    roi_impl: str = "auto"
+    # fused-CNN stage-2 scheme: 'wide' | 'tiled' (scripts/bench_fused_cnn.py
+    # measures which wins on-chip — 'tiled' won both dtypes on v5e;
+    # ignored unless roi_impl='fused')
+    roi_variant: str = "tiled"
     gru_impl: str = "scan"  # "pallas" = fused sequence kernel (bit-identical)
     # "parity" (the serving default) = head-site precision raise — the
     # cheapest mode holding on-chip logits <= 1e-3 vs torch at ~1%
@@ -70,6 +78,19 @@ class Predictor:
     def __post_init__(self):
         self.buckets = tuple(sorted(set(list(self.buckets) + [self.max_t])))
         dtype = jnp.dtype(self.compute_dtype)
+
+        if self.roi_impl == "auto":
+            from ..ops.pallas_gru import default_interpret
+
+            if default_interpret():
+                self.roi_impl = "xla"
+            elif dtype == jnp.bfloat16:
+                # fused bf16 measured BELOW grouped bf16 (45.3k vs 48.0k
+                # clips/s e2e) — the fused kernel's internals are f32, so
+                # bf16 only shrinks the grouped path's HBM bytes
+                self.roi_impl = "grouped"
+            else:
+                self.roi_impl = "fused"
 
         roi_packed = None
         if self.roi_impl == "fused" and self.cfg.use_roi:
@@ -87,6 +108,7 @@ class Predictor:
                                       roi_impl=self.roi_impl,
                                       gru_impl=self.gru_impl,
                                       roi_packed=roi_packed,
+                                      roi_variant=self.roi_variant,
                                       matmul_precision=self.matmul_precision)
 
         self._fwd = _fwd

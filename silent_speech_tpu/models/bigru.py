@@ -188,6 +188,7 @@ def forward(
     gru_impl: str = "scan",
     roi_impl: str = "xla",
     roi_packed: Optional[dict] = None,
+    roi_variant: str = "wide",
     matmul_precision: PrecisionLike = None,
     roi_remat: bool = False,
 ) -> jnp.ndarray:
@@ -228,6 +229,7 @@ def forward(
                 roi_standardize=roi_standardize, train=train, rng=rng,
                 compute_dtype=compute_dtype, gru_impl=gru_impl,
                 roi_impl=roi_impl, roi_packed=roi_packed,
+                roi_variant=roi_variant,
                 matmul_precision=None, roi_remat=roi_remat,
             )
     site_prec: dict = dict(matmul_precision or {})
@@ -252,6 +254,7 @@ def forward(
                     roi.reshape(B * T, *roi.shape[2:]), roi_packed,
                     standardize=roi_standardize,
                     compute_dtype=jnp.dtype(compute_dtype),
+                    variant=roi_variant,
                 ).reshape(B, T, -1).astype(compute_dtype)
             elif roi_impl == "pallas" and not train:
                 from ..ops.pallas_cnn import pack_roi_cnn_params, roi_cnn_pallas
@@ -325,6 +328,7 @@ def forward(
 def live_forward(params, cfg, X, lengths, roi=None, compute_dtype=jnp.float32,
                  gru_impl: str = "scan", roi_impl: str = "xla",
                  roi_packed: Optional[dict] = None,
+                 roi_variant: str = "wide",
                  matmul_precision: PrecisionLike = None):
     """The live-inference forward (no ROI standardization, no dropout) —
     the parity target against live_infer_official.py:124-138."""
@@ -340,6 +344,7 @@ def live_forward(params, cfg, X, lengths, roi=None, compute_dtype=jnp.float32,
         gru_impl=gru_impl,
         roi_impl=roi_impl,
         roi_packed=roi_packed,
+        roi_variant=roi_variant,
         matmul_precision=matmul_precision,
     )
 

@@ -215,15 +215,26 @@ def _iota2(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
+def _roll_rows(x, shift):
+    # Mosaic lowers pltpu.roll to tpu.dynamic_rotate, which only supports
+    # 32-bit element types ("Rotate with non-32-bit data" compile error on
+    # the bf16 serving mode, measured 2026-08-18). Widen through f32 for the
+    # rotate: bf16 -> f32 -> bf16 is an exact round-trip, and the two VPU
+    # casts are noise next to the stage matmuls.
+    if x.dtype.itemsize == 4:
+        return pltpu.roll(x, shift, axis=0)
+    return pltpu.roll(x.astype(jnp.float32), shift, axis=0).astype(x.dtype)
+
+
 def _shift_down(x, kk):
     """Row r receives row r-1's value; zero at the first row of each frame.
     (Source row one ABOVE = the previous in-frame row.)"""
-    return jnp.where(kk == 0, 0.0, pltpu.roll(x, 1, axis=0))
+    return jnp.where(kk == 0, 0.0, _roll_rows(x, 1))
 
 
 def _shift_up(x, kk):
     """Row r receives row r+1's value; zero at the last row of each frame."""
-    return jnp.where(kk == HQ - 1, 0.0, pltpu.roll(x, x.shape[0] - 1, axis=0))
+    return jnp.where(kk == HQ - 1, 0.0, _roll_rows(x, x.shape[0] - 1))
 
 
 def _roi_fused_kernel(standardize: bool, variant: str,
