@@ -58,7 +58,11 @@ def main():
     from silent_speech_tpu.ops.nn import dense
 
     rng = np.random.default_rng(0)
-    results = {}
+    # the pipeline comparison is host-dependent: with one host core the
+    # producer's landmarker busy-wait and the consumer thread contend for
+    # the GIL, so record the core count next to the numbers
+    import os
+    results = {"host_cpu_cores": os.cpu_count()}
 
     # 1. clip predict (official model, T=90 bucket)
     mcfg = model.BiGRUConfig(x_dim=180, num_classes=10, use_roi=True)

@@ -98,6 +98,24 @@ def _gated_overlay(cv2, out, open_val, speaking, top3, hold, conf_thresh,
 _GATED_WINDOW = "Live + Word Prediction (Clip Gated)"  # live_lower_half.py:16
 
 
+def _advise_threaded_host():
+    """One-line advisory when pipeline='threaded' runs on a 1-core host.
+
+    The threaded pipeline overlaps the landmarker's host CPU time with the
+    engine's device dispatch; with a single host core there is nothing to
+    overlap the CPU work *with*, so at light load it only adds handoff/GIL
+    latency (measured: docs/STREAMING_PERF.md round-4 section). It still
+    wins when the engine dispatch dominates the frame budget (the dispatch
+    wait releases the GIL), so this is advice, not an error.
+    """
+    import os
+
+    if (os.cpu_count() or 1) <= 1:
+        print("[pipeline=threaded] note: single-CPU-core host — threading "
+              "only pays when engine dispatch dominates the frame budget "
+              "(docs/STREAMING_PERF.md)")
+
+
 def _load_predictor(cfg: InferConfig):
     """Any checkpoint family — official or variant, .pt or ours
     (infer.predictor.load_predictor routing)."""
@@ -390,6 +408,7 @@ def infer_gated(cfg: InferConfig = InferConfig(),
         raise
     try:
         if stream_cfg.pipeline == "threaded":
+            _advise_threaded_host()
             _run_gated_threaded(cv2, cam, lm, predictor, gate, cfg,
                                 stream_cfg)
         else:
@@ -912,6 +931,7 @@ def infer_stream(ckpt_path: str, stream_cfg: StreamConfig = StreamConfig(),
 
     try:
         if stream_cfg.pipeline == "threaded":
+            _advise_threaded_host()
             _run_stream_threaded(cv2, cam, lm, frame_fn, push_fn,
                                  front_lost_fn, engine_lost_fn,
                                  input_dim, stream_cfg)

@@ -611,6 +611,19 @@ def test_infer_stream_engine_guards(tmp_path):
         live.infer_stream(ckpt, StreamConfig(pipeline="bogus"))
 
 
+def test_threaded_host_advisory(monkeypatch, capsys):
+    """pipeline=threaded prints the 1-core advisory exactly when
+    os.cpu_count() == 1 (docs/STREAMING_PERF.md round-4 section)."""
+    import os
+
+    monkeypatch.setattr(os, "cpu_count", lambda: 1)
+    live._advise_threaded_host()
+    assert "single-CPU-core host" in capsys.readouterr().out
+    monkeypatch.setattr(os, "cpu_count", lambda: 8)
+    live._advise_threaded_host()
+    assert capsys.readouterr().out == ""
+
+
 def test_infer_ctc_loop(tmp_path, capsys):
     from silent_speech_tpu.models import ctc_model
 
