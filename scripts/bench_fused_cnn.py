@@ -211,9 +211,66 @@ def main():
         sys.stdout.flush()
 
 
+def sweep_f_tile():
+    """f_tile (frames per grid step, M = 12*f_tile matmul rows) sweep:
+    standalone kernel at N_FRAMES + e2e live forward at the bench shape.
+    Decides the shipped F_TILE default (ops/pallas_cnn2.py)."""
+    from silent_speech_tpu.models import bigru as model
+    from silent_speech_tpu.ops.pallas_cnn2 import (
+        pack_roi_cnn_fused, roi_cnn_fused)
+
+    mcfg = model.BiGRUConfig(x_dim=180, num_classes=10, use_roi=True)
+    params = model.init_params(jax.random.PRNGKey(0), mcfg)
+    packed = pack_roi_cnn_fused(params["roi_cnn"])
+    rng = np.random.default_rng(0)
+    roi = jnp.asarray(rng.integers(0, 256, (N_FRAMES, 48, 96), dtype=np.uint8))
+
+    base = None
+    for variant in ("tiled", "wide"):
+        for f_tile in (8, 16, 32, 64):
+            def fn(r, _v=variant, _f=f_tile):
+                return roi_cnn_fused(r, packed, variant=_v, f_tile=_f)
+            try:
+                t = timed(fn, (roi,))
+            except Exception as e:  # noqa: BLE001 - report and continue
+                print(f"standalone {variant:5s} f_tile={f_tile:3d}: FAILED "
+                      f"{type(e).__name__}: {str(e).splitlines()[0][:100]}")
+                continue
+            got = np.asarray(fn(roi[:256]))
+            if base is None:
+                base = got
+            err = float(np.abs(got - base).max())
+            print(f"standalone {variant:5s} f_tile={f_tile:3d}: {t:6.2f} ms "
+                  f"/ {N_FRAMES} frames  maxdiff={err:.1e}")
+            sys.stdout.flush()
+
+    T = 32
+    B = N_FRAMES // T
+    X = jnp.asarray(rng.standard_normal((B, T, 180)).astype(np.float32))
+    lengths = jnp.asarray(np.full((B,), T, np.int32))
+    roi4 = roi.reshape(B, T, 48, 96)
+    for f_tile in (16, 32, 64):
+        def fwd(X, roi4, _f=f_tile):
+            return model.live_forward(
+                params, mcfg, X, lengths, roi4, roi_impl="fused",
+                roi_packed=packed, roi_variant="tiled", roi_f_tile=_f,
+                matmul_precision="parity")
+        try:
+            t = timed(fwd, (X, roi4))
+        except Exception as e:  # noqa: BLE001
+            print(f"e2e tiled f_tile={f_tile:3d}: FAILED "
+                  f"{type(e).__name__}: {str(e).splitlines()[0][:100]}")
+            continue
+        print(f"e2e live fwd (tiled f_tile={f_tile:3d}, parity): {t:6.2f} ms "
+              f"-> {B / (t / 1e3):8.0f} clips/s")
+        sys.stdout.flush()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "mxu":
         probe_mxu()
+    elif len(sys.argv) > 1 and sys.argv[1] == "ftile":
+        sweep_f_tile()
     else:
         probe_mxu()
         main()

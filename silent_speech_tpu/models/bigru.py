@@ -189,6 +189,7 @@ def forward(
     roi_impl: str = "xla",
     roi_packed: Optional[dict] = None,
     roi_variant: str = "wide",
+    roi_f_tile: Optional[int] = None,
     matmul_precision: PrecisionLike = None,
     roi_remat: bool = False,
 ) -> jnp.ndarray:
@@ -229,7 +230,7 @@ def forward(
                 roi_standardize=roi_standardize, train=train, rng=rng,
                 compute_dtype=compute_dtype, gru_impl=gru_impl,
                 roi_impl=roi_impl, roi_packed=roi_packed,
-                roi_variant=roi_variant,
+                roi_variant=roi_variant, roi_f_tile=roi_f_tile,
                 matmul_precision=None, roi_remat=roi_remat,
             )
     site_prec: dict = dict(matmul_precision or {})
@@ -250,11 +251,13 @@ def forward(
                     roi_packed = pack_roi_cnn_fused_traceable(
                         params["roi_cnn"])
                 B, T = roi.shape[:2]
+                fused_kw = {} if roi_f_tile is None else {
+                    "f_tile": roi_f_tile}
                 roi_e = roi_cnn_fused(
                     roi.reshape(B * T, *roi.shape[2:]), roi_packed,
                     standardize=roi_standardize,
                     compute_dtype=jnp.dtype(compute_dtype),
-                    variant=roi_variant,
+                    variant=roi_variant, **fused_kw,
                 ).reshape(B, T, -1).astype(compute_dtype)
             elif roi_impl == "pallas" and not train:
                 from ..ops.pallas_cnn import pack_roi_cnn_params, roi_cnn_pallas
@@ -329,6 +332,7 @@ def live_forward(params, cfg, X, lengths, roi=None, compute_dtype=jnp.float32,
                  gru_impl: str = "scan", roi_impl: str = "xla",
                  roi_packed: Optional[dict] = None,
                  roi_variant: str = "wide",
+                 roi_f_tile: Optional[int] = None,
                  matmul_precision: PrecisionLike = None):
     """The live-inference forward (no ROI standardization, no dropout) —
     the parity target against live_infer_official.py:124-138."""
@@ -345,6 +349,7 @@ def live_forward(params, cfg, X, lengths, roi=None, compute_dtype=jnp.float32,
         roi_impl=roi_impl,
         roi_packed=roi_packed,
         roi_variant=roi_variant,
+        roi_f_tile=roi_f_tile,
         matmul_precision=matmul_precision,
     )
 

@@ -58,7 +58,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-F_TILE = 16  # frames per grid step
+# frames per grid step (M = 12*F_TILE matmul rows). Swept on-chip
+# (scripts/bench_fused_cnn.py ftile, 2026-08-18): tiled standalone 5.40 /
+# 5.03 / 4.69 / 4.69 ms per 8192 frames at 8/16/32/64 — taller dots feed
+# the MXU better until M=384 saturates. 32 ships: 64 is e2e-equal at batch
+# but pads a single T=32 clip 2x at B=1 (the p50-latency shape).
+F_TILE = 32
 
 # geometry (input 48x96 -> 24x48x8 -> 12x24x16 -> 12x24x24 -> mean -> fc)
 H0, W0 = 48, 96
@@ -237,9 +242,9 @@ def _shift_up(x, kk):
     return jnp.where(kk == HQ - 1, 0.0, _roll_rows(x, x.shape[0] - 1))
 
 
-def _roi_fused_kernel(standardize: bool, variant: str,
+def _roi_fused_kernel(standardize: bool, variant: str, F: int,
                       x0_ref, x1_ref, x2_ref, x3_ref,
-                      w1e_ref, w1o_ref, b1_ref,
+                      w1_ref, b1_ref,
                       w2_ref, b2_ref,
                       w3_ref, b3_ref, fcw_ref, fcb_ref,
                       out_ref, *scratch):
@@ -248,7 +253,6 @@ def _roi_fused_kernel(standardize: bool, variant: str,
     else:  # tiled stage 2
         (halo_ref, p1_ref, c1_ref, he_ref, ho_ref, p2t_ref, c2_ref,
          p3_ref, c3_ref) = scratch
-    F = F_TILE
     M = F * HQ
     kk = _iota2((M, 1), 0) % HQ  # in-frame row index
 
@@ -305,11 +309,12 @@ def _roi_fused_kernel(standardize: bool, variant: str,
                     p1_ref[:, dy * 34: dy * 34 + 34] = (
                         views[c][dy][:, 32 * j: 32 * j + 34])
                 p = p1_ref[...]
-                ye = jnp.dot(p, w1e_ref[...],
-                             preferred_element_type=jnp.float32)
-                yo = jnp.dot(p, w1o_ref[...],
-                             preferred_element_type=jnp.float32)
-                m = jnp.maximum(ye, yo).astype(cdtype)
+                # one dot against [W1E | W1O] (128-lane halves): same
+                # per-column accumulation as two separate dots (bitwise),
+                # half the dot-issue count and a fuller MXU N dimension
+                y = jnp.dot(p, w1_ref[...],
+                            preferred_element_type=jnp.float32)
+                m = jnp.maximum(y[:, 0:128], y[:, 128:256]).astype(cdtype)
                 sl = slice(base + 128 * j, base + 128 * (j + 1))
                 if c == ca:
                     c1_ref[:, sl] = m
@@ -402,7 +407,7 @@ def _roi_fused_kernel(standardize: bool, variant: str,
 
 @functools.partial(jax.jit,
                    static_argnames=("standardize", "interpret",
-                                    "compute_dtype", "variant"))
+                                    "compute_dtype", "variant", "f_tile"))
 def roi_cnn_fused(
     roi_u8: jnp.ndarray,
     packed: dict,
@@ -411,6 +416,7 @@ def roi_cnn_fused(
     interpret: Optional[bool] = None,
     compute_dtype=jnp.float32,
     variant: str = "wide",
+    f_tile: int = F_TILE,
 ) -> jnp.ndarray:
     """roi_u8: (N, 48, 96) uint8 -> embeddings (N, emb) float32.
 
@@ -428,9 +434,21 @@ def roi_cnn_fused(
     slices) or 'tiled' (2.25x fewer stage-2 MACs via (512, 256) tile
     matmuls, three 160-lane patch slices per dy view) — which wins is an
     MXU-rate-vs-copy-cost tradeoff measured by scripts/bench_fused_cnn.py.
+
+    ``f_tile``: frames per grid step (M = 12*f_tile matmul rows). Bigger
+    tiles feed the MXU taller dots (the packed shapes run well below peak
+    at M=192 — docs/ROI_CNN_PERF.md round-4 MXU probe) at the cost of VMEM;
+    the scoped-vmem limit is raised to 64 MB (same knob as pallas_gru) so
+    f_tile=32/64 fit. The conv stages are per-row and exactly invariant to
+    f_tile; the mean/standardize selector dots contract over K=M, so f_tile
+    regroups their f32 reduction tree (<=1e-6 reassociation drift,
+    tests/test_pallas_cnn2.py).
     """
     if variant not in ("wide", "tiled"):
         raise ValueError(f"unknown variant {variant!r}")
+    if f_tile < 1 or f_tile % 2:
+        raise ValueError(f"f_tile must be a positive even frame count, "
+                         f"got {f_tile}")
     if interpret is None:
         from .pallas_gru import default_interpret
 
@@ -438,20 +456,22 @@ def roi_cnn_fused(
     cdtype = jnp.dtype(compute_dtype)
     N = roi_u8.shape[0]
     emb = packed["fc_w"].shape[-1]
-    N_pad = -(-N // F_TILE) * F_TILE
+    N_pad = -(-N // f_tile) * f_tile
     if N_pad != N:
         roi_u8 = jnp.pad(roi_u8, ((0, N_pad - N), (0, 0), (0, 0)))
 
     # h-mod-4 row-class split (cheap XLA u8 strided slice, one HBM pass)
     parts = [roi_u8[:, c::4, :].reshape(N_pad * HQ, W0) for c in range(4)]
 
-    F = F_TILE
+    F = f_tile
     M = F * HQ
-    kernel = functools.partial(_roi_fused_kernel, standardize, variant)
+    kernel = functools.partial(_roi_fused_kernel, standardize, variant, F)
     spec_in = pl.BlockSpec((M, W0), lambda i: (i, 0), memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
     cast = lambda k: packed[k].astype(cdtype)
+    # stage-1 parity halves ride one dot: [W1E | W1O] (128-lane halves)
+    w1 = jnp.concatenate([packed["w1e"], packed["w1o"]], axis=1)
     shared_scratch = [
         pltpu.VMEM((4, M, 128), cdtype),        # stage-1 haloed classes
         pltpu.VMEM((M, KP1), cdtype),           # stage-1 patch
@@ -473,7 +493,7 @@ def roi_cnn_fused(
         kernel,
         grid=(N_pad // F,),
         in_specs=[spec_in] * 4 + [
-            const((KP1, 128)), const((KP1, 128)), const((1, 384)),
+            const((KP1, 256)), const((1, 384)),
             const(w2_shape), const((1, 384)),
             const((1152, 576)), const((1, 576)),
             const((C3, emb)), const((1, emb)),
@@ -486,8 +506,10 @@ def roi_cnn_fused(
             pltpu.VMEM((M, 1152), cdtype),      # stage-3 patch
             pltpu.VMEM((M, 576), jnp.float32),  # c3 (f32 for mean/fc)
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(*parts, cast("w1e"), cast("w1o"), packed["b1"],
+    )(*parts, w1.astype(cdtype), packed["b1"],
       cast(w2_key), packed["b2"],
       cast("w3"), packed["b3"], packed["fc_w"], packed["fc_b"])
     return out[:N]

@@ -46,7 +46,7 @@ def test_fused2_cnn_standardize_path(rng):
 
 
 def test_fused2_cnn_ragged_batch(rng):
-    """N not divisible by the 16-frame tile (pad + slice back)."""
+    """N not divisible by the frame tile (pad + slice back)."""
     params = init_roi_cnn(jax.random.PRNGKey(2))
     packed = pack_roi_cnn_fused(params)
     roi = rng.integers(0, 256, (21, 48, 96), dtype=np.uint8)
@@ -54,6 +54,28 @@ def test_fused2_cnn_ragged_batch(rng):
     got = np.asarray(roi_cnn_fused(jnp.asarray(roi), packed, interpret=True))
     assert got.shape == (21, 32)
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_fused2_f_tile_reassociation_only(rng):
+    """f_tile only re-tiles the grid (taller matmul M). The conv stages are
+    per-row and exactly invariant; the mean/standardize frame-selector dots
+    contract over K=M, so a different f_tile regroups their f32 reduction
+    tree — drift must stay at reassociation scale (<=1e-6, measured
+    1.5e-8), for both stage-2 variants."""
+    import pytest
+
+    params = init_roi_cnn(jax.random.PRNGKey(5))
+    packed = pack_roi_cnn_fused(params)
+    roi = jnp.asarray(rng.integers(0, 256, (40, 48, 96), dtype=np.uint8))
+    for variant in ("wide", "tiled"):
+        base = np.asarray(roi_cnn_fused(roi, packed, interpret=True,
+                                        variant=variant))
+        for f_tile in (2, 8, 32):
+            got = np.asarray(roi_cnn_fused(roi, packed, interpret=True,
+                                           variant=variant, f_tile=f_tile))
+            np.testing.assert_allclose(got, base, atol=1e-6, rtol=0)
+    with pytest.raises(ValueError, match="f_tile"):
+        roi_cnn_fused(roi, packed, interpret=True, f_tile=3)
 
 
 def test_fused2_traceable_pack_matches_numpy_pack():
@@ -120,7 +142,7 @@ def test_fused2_tiled_variant(rng):
 
 def test_fused2_constant_frame_standardize_stays_finite(rng):
     """A constant (covered/saturated-camera) frame must not NaN-poison its
-    16-frame tile: the in-kernel E[x^2]-E[x]^2 variance can go slightly
+    frame tile: the in-kernel E[x^2]-E[x]^2 variance can go slightly
     negative in f32 and needs the clamp before sqrt (round-4 review fix).
     The constant frame itself amplifies f32 rounding by the 1e-6 std floor,
     so only the OTHER frames are compared numerically."""
