@@ -85,9 +85,14 @@ class Predictor:
             if default_interpret():
                 self.roi_impl = "xla"
             elif dtype == jnp.bfloat16:
-                # fused bf16 measured BELOW grouped bf16 (45.3k vs 48.0k
-                # clips/s e2e) — the fused kernel's internals are f32, so
-                # bf16 only shrinks the grouped path's HBM bytes
+                # fused bf16 measured BELOW grouped bf16 (at F_TILE=32:
+                # 46.1k vs 47.1k clips/s e2e) — the fused kernel's
+                # internals are f32, so bf16 only shrinks the grouped
+                # path's HBM bytes
+                self.roi_impl = "grouped"
+            elif (self.cfg.roi_h, self.cfg.roi_w) != (48, 96):
+                # the fused kernel's packing geometry is specific to the
+                # reference 48x96 ROI (ops/pallas_cnn2.py)
                 self.roi_impl = "grouped"
             else:
                 self.roi_impl = "fused"

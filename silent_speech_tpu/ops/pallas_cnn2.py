@@ -449,6 +449,13 @@ def roi_cnn_fused(
     if f_tile < 1 or f_tile % 2:
         raise ValueError(f"f_tile must be a positive even frame count, "
                          f"got {f_tile}")
+    if tuple(roi_u8.shape[1:]) != (H0, W0):
+        # the packing geometry is specific to the reference TinyROICNN
+        # input — fail loudly instead of an opaque Mosaic block-shape error
+        raise ValueError(
+            f"roi_impl='fused' supports only the reference {H0}x{W0} ROI "
+            f"(got {tuple(roi_u8.shape[1:])}); use roi_impl='grouped' or "
+            "'xla' for other geometries")
     if interpret is None:
         from .pallas_gru import default_interpret
 

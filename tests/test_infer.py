@@ -228,6 +228,38 @@ def test_predictor_warmup_precompiles_buckets():
     assert p._fwd._cache_size() == misses0
 
 
+def test_predictor_auto_guards_fused_geometry(monkeypatch, rng):
+    """'auto' on a (simulated) TPU backend resolves to 'fused' only for the
+    reference 48x96 ROI; other geometries fall back to 'grouped' (the fused
+    packing is 48x96-specific), and an explicit fused call on a wrong
+    geometry fails loudly."""
+    import jax
+    import pytest
+
+    from silent_speech_tpu.models import bigru as model
+    from silent_speech_tpu.ops import pallas_gru
+    from silent_speech_tpu.ops.pallas_cnn2 import (
+        pack_roi_cnn_fused, roi_cnn_fused)
+
+    monkeypatch.setattr(pallas_gru, "default_interpret", lambda: False)
+    base = dict(x_dim=12, num_classes=3, use_roi=True, hidden=8,
+                roi_emb=4, head_hidden=8)
+    labels = {0: "a", 1: "b", 2: "c"}
+    cfg = model.BiGRUConfig(**base)
+    params = model.init_params(jax.random.PRNGKey(0), cfg)
+    p = Predictor(params=params, cfg=cfg, id_to_label=labels, max_t=20)
+    assert p.roi_impl == "fused"
+    cfg2 = model.BiGRUConfig(roi_h=96, roi_w=192, **base)
+    p2 = Predictor(params=model.init_params(jax.random.PRNGKey(0), cfg2),
+                   cfg=cfg2, id_to_label=labels, max_t=20)
+    assert p2.roi_impl == "grouped"
+
+    packed = pack_roi_cnn_fused(params["roi_cnn"])
+    roi = jnp.asarray(rng.integers(0, 256, (4, 96, 192), dtype=np.uint8))
+    with pytest.raises(ValueError, match="48x96"):
+        roi_cnn_fused(roi, packed, interpret=True)
+
+
 def test_predictor_fused_roi_impl_matches_default(rng):
     """Predictor(roi_impl='fused') — the concrete-params pack happens once
     in __post_init__ and rides the jit closure; predictions match the
