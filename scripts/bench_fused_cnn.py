@@ -139,7 +139,7 @@ def main():
     roi = jnp.asarray(rng.integers(0, 256, (N_FRAMES, 48, 96), dtype=np.uint8))
 
     want = np.asarray(roi_cnn_grouped(cnn, preprocess_roi(roi[:256], False)))
-    for variant in ("wide", "tiled"):
+    for variant in ("wide", "tiled", "tiled3"):
         got = np.asarray(roi_cnn_fused(roi[:256], packed, variant=variant))
         err = np.abs(got - want).max()
         print(f"on-chip correctness vs grouped ({variant}): "
@@ -193,9 +193,11 @@ def main():
         ("grouped", "-", jnp.float32),
         ("fused", "wide", jnp.float32),
         ("fused", "tiled", jnp.float32),
+        ("fused", "tiled3", jnp.float32),
         ("grouped", "-", jnp.bfloat16),
         ("fused", "wide", jnp.bfloat16),
         ("fused", "tiled", jnp.bfloat16),
+        ("fused", "tiled3", jnp.bfloat16),
     ):
         def fwd(X, roi4):
             return model.live_forward(
@@ -226,7 +228,7 @@ def sweep_f_tile():
     roi = jnp.asarray(rng.integers(0, 256, (N_FRAMES, 48, 96), dtype=np.uint8))
 
     base = None
-    for variant in ("tiled", "wide"):
+    for variant in ("tiled3", "tiled", "wide"):
         for f_tile in (8, 16, 32, 64):
             def fn(r, _v=variant, _f=f_tile):
                 return roi_cnn_fused(r, packed, variant=_v, f_tile=_f)

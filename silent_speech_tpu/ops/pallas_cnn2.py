@@ -88,8 +88,9 @@ _PACK_SHAPES = (
     (3 * W1P * C1, 2 * W2P * C2),  # w2:  stage-2 full-width [W2E | W2O]
     (512, 256),                    # w2t: stage-2 tiled [even | odd]
     (3 * W2P * C2, W2P * C3),      # w3:  stage-3 full-width
+    (512, 256),                    # w3t: stage-3 tiled (8 w x 32-pad ch)
 )
-_PACK_SRC = ("conv0", "conv0", "conv1", "conv1", "conv2")
+_PACK_SRC = ("conv0", "conv0", "conv1", "conv1", "conv2", "conv2")
 
 
 @functools.lru_cache(maxsize=None)
@@ -113,6 +114,12 @@ def _pack_indices():
       live in the 16-lane halo buffers, not the weights.
     - w3 (stage-3 full-width, (1152, 576)): rows dy*384 + w_in*16 + ci,
       cols w*24+co, taps w_in = w-1+dx (no pool after conv3).
+    - w3t (stage-3 tiled, (512, 256)): mirror of the stage-2 tiling — the
+      j-th tile computes w=8j..8j+7 from w_in in [8j-1, 8j+9) (a 160-lane
+      slice of a 16-lane-haloed c2 buffer); rows dy*160 + l*16 + ci with
+      l = q_off + dx; cols q_off*32 + co (C3=24 padded to 32 channels per
+      w so tile col blocks stay 128-aligned). Same matrix for every j;
+      SAME-pad edge zeros live in the halo lanes.
     """
     s1e, s1o = [], []
     for t in range(16):
@@ -160,8 +167,18 @@ def _pack_indices():
                     for co in range(C3):
                         src = ((dy * 3 + dx) * C2 + ci) * C3 + co
                         s3.append((dy * 384 + wi * C2 + ci, w * C3 + co, src))
+    s3t = []
+    for dy in range(3):
+        for q_off in range(8):
+            for dx in range(3):
+                l = q_off + dx  # local w_in lane group within the tile
+                for ci in range(C2):
+                    for co in range(C3):
+                        src = ((dy * 3 + dx) * C2 + ci) * C3 + co
+                        s3t.append((dy * 160 + l * C2 + ci,
+                                    q_off * 32 + co, src))
     as_np = lambda s: tuple(np.asarray(v, np.int32) for v in zip(*s))
-    return tuple(as_np(s) for s in (s1e, s1o, s2, s2t, s3))
+    return tuple(as_np(s) for s in (s1e, s1o, s2, s2t, s3, s3t))
 
 
 def pack_roi_cnn_fused_traceable(params: dict) -> dict:
@@ -175,12 +192,16 @@ def pack_roi_cnn_fused_traceable(params: dict) -> dict:
                                               _PACK_SRC):
         kf = jnp.asarray(params[src]["w"], jnp.float32).reshape(-1)
         mats.append(jnp.zeros(shape, jnp.float32).at[rows, cols].set(kf[flat]))
-    w1e, w1o, w2, w2t, w3 = mats
+    w1e, w1o, w2, w2t, w3, w3t = mats
     tile = lambda b, n: jnp.tile(jnp.asarray(b, jnp.float32), n)[None, :]
+    b3 = jnp.asarray(params["conv2"]["b"], jnp.float32)
+    b3t_cols = (np.arange(8)[:, None] * 32 + np.arange(C3)[None, :]).ravel()
+    b3t = jnp.zeros((1, 256), jnp.float32).at[0, b3t_cols].set(jnp.tile(b3, 8))
     return {
         "w1e": w1e, "w1o": w1o, "b1": tile(params["conv0"]["b"], W1P),
         "w2": w2, "w2t": w2t, "b2": tile(params["conv1"]["b"], W2P),
         "w3": w3, "b3": tile(params["conv2"]["b"], W2P),
+        "w3t": w3t, "b3t": b3t,
         "fc_w": jnp.asarray(params["fc"]["w"], jnp.float32),
         "fc_b": jnp.asarray(params["fc"]["b"], jnp.float32)[None, :],
     }
@@ -197,8 +218,12 @@ def pack_roi_cnn_fused(params: dict) -> dict:
         W = np.zeros(shape, np.float32)
         W[rows, cols] = kf[flat]  # (row, col) pairs are unique per matrix
         mats.append(jnp.asarray(W))
-    w1e, w1o, w2, w2t, w3 = mats
+    w1e, w1o, w2, w2t, w3, w3t = mats
     tile = lambda b, n: np.tile(np.asarray(b, np.float32), n)[None, :]
+    b3 = np.asarray(params["conv2"]["b"], np.float32)
+    b3t = np.zeros((1, 256), np.float32)
+    for q in range(8):
+        b3t[0, q * 32: q * 32 + C3] = b3
     return {
         "w1e": w1e, "w1o": w1o,
         "b1": jnp.asarray(tile(params["conv0"]["b"], W1P)),      # (1, 384)
@@ -207,6 +232,8 @@ def pack_roi_cnn_fused(params: dict) -> dict:
         "b2": jnp.asarray(tile(params["conv1"]["b"], W2P)),      # (1, 384)
         "w3": w3,
         "b3": jnp.asarray(tile(params["conv2"]["b"], W2P)),      # (1, 576)
+        "w3t": w3t,                                              # (512, 256)
+        "b3t": jnp.asarray(b3t),                                 # (1, 256)
         "fc_w": jnp.asarray(np.asarray(params["fc"]["w"], np.float32)),
         "fc_b": jnp.asarray(np.asarray(params["fc"]["b"], np.float32)[None, :]),
     }
@@ -243,16 +270,19 @@ def _shift_up(x, kk):
 
 
 def _roi_fused_kernel(standardize: bool, variant: str, F: int,
-                      x0_ref, x1_ref, x2_ref, x3_ref,
+                      x_ref,
                       w1_ref, b1_ref,
                       w2_ref, b2_ref,
                       w3_ref, b3_ref, fcw_ref, fcb_ref,
                       out_ref, *scratch):
     if variant == "wide":
         halo_ref, p1_ref, c1_ref, p2_ref, c2_ref, p3_ref, c3_ref = scratch
-    else:  # tiled stage 2
+    elif variant == "tiled":
         (halo_ref, p1_ref, c1_ref, he_ref, ho_ref, p2t_ref, c2_ref,
          p3_ref, c3_ref) = scratch
+    else:  # tiled3: tiled stage 2 AND stage 3 (he/p2t reused as halo/patch)
+        (halo_ref, p1_ref, c1_ref, he_ref, ho_ref, p2t_ref, c2_ref,
+         c3_ref) = scratch
     M = F * HQ
     kk = _iota2((M, 1), 0) % HQ  # in-frame row index
 
@@ -261,9 +291,11 @@ def _roi_fused_kernel(standardize: bool, variant: str, F: int,
     # preprocess path. All normalization math is f32; the activations are
     # cast to the compute dtype (= the scratch dtype: f32 exact mode, bf16
     # serving mode with f32 matmul accumulation) only when stored.
+    # The h-mod-4 classes are the four 96-lane slices of the (M, 384) row
+    # (a FREE reshape host-side — see roi_cnn_fused); widen once, slice f32.
     cdtype = halo_ref.dtype
-    xs = [r[...].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
-          for r in (x0_ref, x1_ref, x2_ref, x3_ref)]
+    xw = x_ref[...].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+    xs = [xw[:, W0 * c: W0 * (c + 1)] for c in range(4)]
 
     if standardize:
         # training-path per-frame standardization (ddof=1,
@@ -292,6 +324,10 @@ def _roi_fused_kernel(standardize: bool, variant: str, F: int,
     for c in range(4):
         halo_ref[c] = jnp.zeros_like(halo_ref[c])
         halo_ref[c, :, 1:1 + W0] = xs[c].astype(cdtype)
+    if _DEBUG_STOP_AFTER == "norm":
+        # front cost only: u8 load + normalize + halo fill
+        out_ref[...] = jnp.zeros_like(out_ref[...]) + jnp.sum(halo_ref[...])
+        return
     x3d = _shift_down(halo_ref[3][...], kk)   # class3 rows k-1 (input h=4k-1)
     x0u = _shift_up(halo_ref[0][...], kk)     # class0 rows k+1 (input h=4k+4)
     views = [
@@ -378,14 +414,37 @@ def _roi_fused_kernel(standardize: bool, variant: str, F: int,
         out_ref[...] = jnp.zeros_like(out_ref[...]) + jnp.sum(c2_ref[...])
         return
 
-    # ---- stage 3: conv2 full-width + global mean + fc ----
+    # ---- stage 3: conv2 (full-width or tiled) + global mean + fc ----
     c2v = c2_ref[...]
-    p3_ref[:, 0:384] = _shift_down(c2v, kk)
-    p3_ref[:, 384:768] = c2v
-    p3_ref[:, 768:1152] = _shift_up(c2v, kk)
-    c3_ref[...] = jnp.maximum(
-        jnp.dot(p3_ref[...], w3_ref[...], preferred_element_type=jnp.float32)
-        + b3_ref[...], 0.0)
+    if variant == "tiled3":
+        # mirror of the stage-2 tiling (0.59x the full-width packed MACs):
+        # c2 haloed by 16 lanes (= one w position) so the per-tile slice
+        # [128j, 128j+160) is exactly the 10 input w that tile j's 8 outputs
+        # need; output lane = w*32 + co (C3=24 padded to 32 channels per w
+        # keeps the tile col blocks 128-aligned; pad cols have zero weight
+        # AND zero bias, so ReLU leaves them 0 for the mean selector).
+        he_ref[...] = jnp.zeros_like(he_ref[...])
+        he_ref[:, 16:400] = c2v
+        h3 = he_ref[...]
+        v3d = _shift_down(h3, kk)
+        v3u = _shift_up(h3, kk)
+        b3 = b3_ref[...]
+        for j in range(3):
+            sl = slice(128 * j, 128 * j + 160)
+            p2t_ref[:, 0:160] = v3d[:, sl]
+            p2t_ref[:, 160:320] = h3[:, sl]
+            p2t_ref[:, 320:480] = v3u[:, sl]
+            y = jnp.dot(p2t_ref[...], w3_ref[...],
+                        preferred_element_type=jnp.float32)
+            c3_ref[:, 256 * j: 256 * (j + 1)] = jnp.maximum(y + b3, 0.0)
+    else:
+        p3_ref[:, 0:384] = _shift_down(c2v, kk)
+        p3_ref[:, 384:768] = c2v
+        p3_ref[:, 768:1152] = _shift_up(c2v, kk)
+        c3_ref[...] = jnp.maximum(
+            jnp.dot(p3_ref[...], w3_ref[...],
+                    preferred_element_type=jnp.float32)
+            + b3_ref[...], 0.0)
 
     if _DEBUG_STOP_AFTER == "conv3":
         out_ref[...] = jnp.zeros_like(out_ref[...]) + jnp.sum(c3_ref[...])
@@ -394,9 +453,11 @@ def _roi_fused_kernel(standardize: bool, variant: str, F: int,
     # global mean over (h=12 rows, w=24) via selector matmuls
     sfr = (_iota2((F, M), 1) // HQ == _iota2((F, M), 0)).astype(jnp.float32)
     by_frame = jnp.dot(sfr, c3_ref[...],
-                       preferred_element_type=jnp.float32)  # (F, 576)
-    L3 = W2P * C3
-    scol = (_iota2((L3, C3), 0) % C3 == _iota2((L3, C3), 1)).astype(jnp.float32)
+                       preferred_element_type=jnp.float32)  # (F, 576|768)
+    ch_step = 32 if variant == "tiled3" else C3
+    L3 = W2P * ch_step
+    scol = (_iota2((L3, C3), 0) % ch_step
+            == _iota2((L3, C3), 1)).astype(jnp.float32)
     feat = jnp.dot(by_frame, scol,
                    preferred_element_type=jnp.float32) / (HQ * W2P)
     out_ref[...] = (
@@ -444,7 +505,7 @@ def roi_cnn_fused(
     regroups their f32 reduction tree (<=1e-6 reassociation drift,
     tests/test_pallas_cnn2.py).
     """
-    if variant not in ("wide", "tiled"):
+    if variant not in ("wide", "tiled", "tiled3"):
         raise ValueError(f"unknown variant {variant!r}")
     if f_tile < 1 or f_tile % 2:
         raise ValueError(f"f_tile must be a positive even frame count, "
@@ -467,13 +528,19 @@ def roi_cnn_fused(
     if N_pad != N:
         roi_u8 = jnp.pad(roi_u8, ((0, N_pad - N), (0, 0), (0, 0)))
 
-    # h-mod-4 row-class split (cheap XLA u8 strided slice, one HBM pass)
-    parts = [roi_u8[:, c::4, :].reshape(N_pad * HQ, W0) for c in range(4)]
+    # h-mod-4 row-class split: (N, 48, 96) -> (N*12, 384) is a FREE
+    # row-major reshape (flat index n*4608 + (4k+c)*96 + w is unchanged),
+    # leaving class c in lanes [96c, 96c+96) of each 384-lane row. The old
+    # roi_u8[:, c::4, :] strided-slice split was a real XLA gather — one of
+    # the ~20-50 GB/s pathological relayouts (docs/ROI_CNN_PERF.md), and
+    # the dominant term in the measured 1.63 ms kernel front (2026-08-18).
+    x_in = roi_u8.reshape(N_pad * HQ, 4 * W0)
 
     F = f_tile
     M = F * HQ
     kernel = functools.partial(_roi_fused_kernel, standardize, variant, F)
-    spec_in = pl.BlockSpec((M, W0), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_in = pl.BlockSpec((M, 4 * W0), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
     cast = lambda k: packed[k].astype(cdtype)
@@ -496,13 +563,25 @@ def roi_cnn_fused(
             pltpu.VMEM((M, 512), cdtype),       # hO
             pltpu.VMEM((M, 512), cdtype),       # stage-2 tile patch
         ]
+    if variant == "tiled3":
+        # stage-3 tiling reuses hE/p2t as its halo/patch buffers
+        w3_key, w3_shape, b3_key, b3_shape = "w3t", (512, 256), "b3t", (1, 256)
+        stage3_scratch = [
+            pltpu.VMEM((M, 768), jnp.float32),  # c3 (w*32+co padded layout)
+        ]
+    else:
+        w3_key, w3_shape, b3_key, b3_shape = "w3", (1152, 576), "b3", (1, 576)
+        stage3_scratch = [
+            pltpu.VMEM((M, 1152), cdtype),      # stage-3 patch
+            pltpu.VMEM((M, 576), jnp.float32),  # c3 (f32 for mean/fc)
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(N_pad // F,),
-        in_specs=[spec_in] * 4 + [
+        in_specs=[spec_in] + [
             const((KP1, 256)), const((1, 384)),
             const(w2_shape), const((1, 384)),
-            const((1152, 576)), const((1, 576)),
+            const(w3_shape), const(b3_shape),
             const((C3, emb)), const((1, emb)),
         ],
         out_specs=pl.BlockSpec((F, emb), lambda i: (i, 0),
@@ -510,13 +589,11 @@ def roi_cnn_fused(
         out_shape=jax.ShapeDtypeStruct((N_pad, emb), jnp.float32),
         scratch_shapes=shared_scratch + stage2_scratch + [
             pltpu.VMEM((M, 384), cdtype),       # c2
-            pltpu.VMEM((M, 1152), cdtype),      # stage-3 patch
-            pltpu.VMEM((M, 576), jnp.float32),  # c3 (f32 for mean/fc)
-        ],
+        ] + stage3_scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(*parts, w1.astype(cdtype), packed["b1"],
+    )(x_in, w1.astype(cdtype), packed["b1"],
       cast(w2_key), packed["b2"],
-      cast("w3"), packed["b3"], packed["fc_w"], packed["fc_b"])
+      cast(w3_key), packed[b3_key], packed["fc_w"], packed["fc_b"])
     return out[:N]
