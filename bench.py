@@ -52,10 +52,11 @@ def main():
     mcfg = model.BiGRUConfig(x_dim=180, num_classes=10, use_roi=True)
     params = model.init_params(jax.random.PRNGKey(0), mcfg)
 
-    # roi_impl='fused' (parity-packed single-program Pallas CNN, tiled
-    # stage 2) measured 1.42x over 'grouped' e2e at the same <=1e-3 parity
-    # bar (scripts/bench_fused_cnn.py 2026-08-18; fidelity row
-    # fused/scan/f32/parity = 8.76e-4 in scripts/tpu_parity_check.py).
+    # roi_impl='fused' (parity-packed single-program Pallas CNN, stages
+    # 2+3 tiled = variant 'tiled3', free-reshape h-mod-4 front) measured
+    # 55.2k vs grouped's ~34k clips/s e2e at the same <=1e-3 parity bar
+    # (scripts/bench_fused_cnn.py 2026-08-18; fidelity row
+    # fused/scan/f32/parity in scripts/tpu_parity_check.py).
     # Pack once on host so the scan body reuses the packed weights instead
     # of re-packing per iteration. CPU fallback keeps the XLA path: the
     # fused kernel only interprets off-TPU (hours in SST_BENCH_QUICK even).
@@ -78,7 +79,7 @@ def main():
             logits = model.live_forward(params, mcfg, Xc, lengths, Rc,
                                         roi_impl=roi_impl,
                                         roi_packed=roi_packed,
-                                        roi_variant="tiled",
+                                        roi_variant="tiled3",
                                         matmul_precision="parity")
             # runtime-zero feedback: keeps every iteration live and distinct
             eps = logits[0, 0] * 1e-30

@@ -304,7 +304,7 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
         from ..core.schema import load_clip
         from ..infer import VariantPredictor, load_predictor
         extras = _extras(kv, "ckpt_path", "clip", "k", "compute_dtype",
-                         "roi_impl", "gru_impl", "matmul_precision")
+                         "roi_impl", "roi_variant", "gru_impl", "matmul_precision")
         if "ckpt_path" not in extras or "clip" not in extras:
             print("usage: predict ckpt_path=<path> clip=<clip.npz|glob> "
                   "[k=3] [serving knobs]")
@@ -343,7 +343,8 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
             icfg = apply_overrides(
                 InferConfig(), [f"{kk}={v}" for kk, v in extras.items()
                                 if kk in ("compute_dtype", "roi_impl",
-                                          "gru_impl", "matmul_precision")])
+                                          "roi_variant", "gru_impl",
+                                          "matmul_precision")])
             pred = load_predictor(ckpt_path, **serving_kwargs(icfg))
             for p in paths:
                 c = load_clip(p)

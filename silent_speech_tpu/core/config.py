@@ -100,7 +100,11 @@ class InferConfig:
     topk: int = 3
     # TPU serving knobs (no reference counterpart)
     compute_dtype: str = "float32"  # "bfloat16" = fast serving mode
-    roi_impl: str = "xla"  # "grouped" = bitwise-identical faster ROI CNN
+    # 'auto' = the Predictor default: the fused Pallas CNN on TPU f32,
+    # grouped on TPU bf16, xla off-TPU. 'xla'/'grouped'/'fused' force a path.
+    roi_impl: str = "auto"
+    # fused-CNN stage scheme ('wide'|'tiled'|'tiled3'); see infer/predictor.py
+    roi_variant: str = "tiled3"
     gru_impl: str = "scan"  # "pallas" = fused sequence kernel (bit-identical)
     # "" = the Predictor default ("parity": <=1e-3 on-chip logits at ~1%
     # cost); "default" = backend default matmuls (fastest, 2.6e-3 drift);
@@ -183,7 +187,8 @@ class EvalConfig:
     top_confusions: int = 10
     # TPU serving knobs (no reference counterpart)
     compute_dtype: str = "float32"
-    roi_impl: str = "xla"
+    roi_impl: str = "auto"  # see InferConfig.roi_impl
+    roi_variant: str = "tiled3"
     gru_impl: str = "scan"
     # "" = the Predictor default ("parity": <=1e-3 on-chip logits at ~1%
     # cost); "default" = backend default matmuls (fastest, 2.6e-3 drift);
@@ -213,6 +218,7 @@ def serving_kwargs(cfg) -> dict:
     ('parity'); 'default'/'none' force backend-default matmuls; anything else
     ('high', 'highest', 'parity') passes through."""
     kw = dict(compute_dtype=cfg.compute_dtype, roi_impl=cfg.roi_impl,
+              roi_variant=getattr(cfg, "roi_variant", "tiled3"),
               gru_impl=cfg.gru_impl)
     if cfg.matmul_precision:
         kw["matmul_precision"] = (

@@ -60,10 +60,11 @@ class Predictor:
     # 2026-08-18) and to 'xla' elsewhere (off-TPU the Pallas kernel only
     # runs in interpret mode, which is orders of magnitude slower).
     roi_impl: str = "auto"
-    # fused-CNN stage-2 scheme: 'wide' | 'tiled' (scripts/bench_fused_cnn.py
-    # measures which wins on-chip — 'tiled' won both dtypes on v5e;
-    # ignored unless roi_impl='fused')
-    roi_variant: str = "tiled"
+    # fused-CNN stage scheme: 'wide' | 'tiled' (tiled stage 2) | 'tiled3'
+    # (tiled stages 2 AND 3) — scripts/bench_fused_cnn.py measures which
+    # wins on-chip; 'tiled3' won f32 on v5e (55.2k vs 50.5k clips/s e2e,
+    # 2026-08-18). Ignored unless roi_impl='fused'.
+    roi_variant: str = "tiled3"
     gru_impl: str = "scan"  # "pallas" = fused sequence kernel (bit-identical)
     # "parity" (the serving default) = head-site precision raise — the
     # cheapest mode holding on-chip logits <= 1e-3 vs torch at ~1%

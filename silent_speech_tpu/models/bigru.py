@@ -188,7 +188,7 @@ def forward(
     gru_impl: str = "scan",
     roi_impl: str = "xla",
     roi_packed: Optional[dict] = None,
-    roi_variant: str = "wide",
+    roi_variant: str = "tiled3",
     roi_f_tile: Optional[int] = None,
     matmul_precision: PrecisionLike = None,
     roi_remat: bool = False,
@@ -331,7 +331,7 @@ def forward(
 def live_forward(params, cfg, X, lengths, roi=None, compute_dtype=jnp.float32,
                  gru_impl: str = "scan", roi_impl: str = "xla",
                  roi_packed: Optional[dict] = None,
-                 roi_variant: str = "wide",
+                 roi_variant: str = "tiled3",
                  roi_f_tile: Optional[int] = None,
                  matmul_precision: PrecisionLike = None):
     """The live-inference forward (no ROI standardization, no dropout) —

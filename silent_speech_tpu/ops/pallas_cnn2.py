@@ -269,7 +269,7 @@ def _shift_up(x, kk):
     return jnp.where(kk == HQ - 1, 0.0, _roll_rows(x, x.shape[0] - 1))
 
 
-def _roi_fused_kernel(standardize: bool, variant: str, F: int,
+def _roi_fused_kernel(standardize: bool, variant: str, F: int, front: str,
                       x_ref,
                       w1_ref, b1_ref,
                       w2_ref, b2_ref,
@@ -286,16 +286,31 @@ def _roi_fused_kernel(standardize: bool, variant: str, F: int,
     M = F * HQ
     kk = _iota2((M, 1), 0) % HQ  # in-frame row index
 
-    # Mosaic has no u8 -> f32 cast; widen via i32. /255 matches the live
-    # normalization (live_infer_official.py:126) bit-for-bit with the XLA
-    # preprocess path. All normalization math is f32; the activations are
-    # cast to the compute dtype (= the scratch dtype: f32 exact mode, bf16
-    # serving mode with f32 matmul accumulation) only when stored.
-    # The h-mod-4 classes are the four 96-lane slices of the (M, 384) row
-    # (a FREE reshape host-side — see roi_cnn_fused); widen once, slice f32.
+    # /255 matches the live normalization (live_infer_official.py:126)
+    # bit-for-bit with the XLA preprocess path. All normalization math is
+    # f32; the activations are cast to the compute dtype (= the scratch
+    # dtype: f32 exact mode, bf16 serving mode with f32 matmul accumulation)
+    # only when stored. The h-mod-4 classes are the four 96-lane slices of
+    # the (M, 384) row (a FREE reshape host-side — see roi_cnn_fused);
+    # widen once, slice f32.
+    #
+    # front='u8': raw uint8 in, widened in-kernel via i32 (Mosaic has no
+    # u8 -> f32 cast). The unpack sequence measured 1.17 ms per 8192 frames
+    # (2026-08-18 ablation) — the single biggest non-dot term.
+    # front='bf16'/'f32': XLA pre-widens the integers (EXACT: 0..255 all
+    # representable in bf16's 8 mantissa bits) at HBM roofline; the kernel
+    # pays 2x/4x input DMA bytes but skips the unpack. Scale stays f32
+    # in-kernel, so all fronts are bitwise-identical.
     cdtype = halo_ref.dtype
-    xw = x_ref[...].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+    xv = x_ref[...]
+    if front == "u8":
+        xv = xv.astype(jnp.int32)
+    xw = xv.astype(jnp.float32) * (1.0 / 255.0)
     xs = [xw[:, W0 * c: W0 * (c + 1)] for c in range(4)]
+    if _DEBUG_STOP_AFTER == "load":
+        # u8 block load + widen + scale only (no halo fill)
+        out_ref[...] = jnp.zeros_like(out_ref[...]) + jnp.sum(xw)
+        return
 
     if standardize:
         # training-path per-frame standardization (ddof=1,
@@ -468,7 +483,8 @@ def _roi_fused_kernel(standardize: bool, variant: str, F: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("standardize", "interpret",
-                                    "compute_dtype", "variant", "f_tile"))
+                                    "compute_dtype", "variant", "f_tile",
+                                    "front"))
 def roi_cnn_fused(
     roi_u8: jnp.ndarray,
     packed: dict,
@@ -478,6 +494,7 @@ def roi_cnn_fused(
     compute_dtype=jnp.float32,
     variant: str = "wide",
     f_tile: int = F_TILE,
+    front: str = "u8",
 ) -> jnp.ndarray:
     """roi_u8: (N, 48, 96) uint8 -> embeddings (N, emb) float32.
 
@@ -507,6 +524,8 @@ def roi_cnn_fused(
     """
     if variant not in ("wide", "tiled", "tiled3"):
         raise ValueError(f"unknown variant {variant!r}")
+    if front not in ("u8", "bf16", "f32"):
+        raise ValueError(f"unknown front {front!r}")
     if f_tile < 1 or f_tile % 2:
         raise ValueError(f"f_tile must be a positive even frame count, "
                          f"got {f_tile}")
@@ -535,10 +554,15 @@ def roi_cnn_fused(
     # the ~20-50 GB/s pathological relayouts (docs/ROI_CNN_PERF.md), and
     # the dominant term in the measured 1.63 ms kernel front (2026-08-18).
     x_in = roi_u8.reshape(N_pad * HQ, 4 * W0)
+    if front != "u8":
+        # pre-widen the raw integers in XLA (exact: 0..255 fit bf16's 8
+        # mantissa bits) — one fused roofline pass; /255 stays f32 in-kernel
+        x_in = x_in.astype(jnp.bfloat16 if front == "bf16" else jnp.float32)
 
     F = f_tile
     M = F * HQ
-    kernel = functools.partial(_roi_fused_kernel, standardize, variant, F)
+    kernel = functools.partial(_roi_fused_kernel, standardize, variant, F,
+                               front)
     spec_in = pl.BlockSpec((M, 4 * W0), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),

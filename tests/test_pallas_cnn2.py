@@ -118,12 +118,13 @@ def test_fused2_bf16_mode(rng):
     packed = pack_roi_cnn_fused(params)
     roi = rng.integers(0, 256, (32, 48, 96), dtype=np.uint8)
     ref = _ref(params, jnp.asarray(roi), standardize=False)
-    got = np.asarray(
-        roi_cnn_fused(jnp.asarray(roi), packed, interpret=True,
-                      compute_dtype=jnp.bfloat16)
-    )
     scale = np.abs(ref).max()
-    assert np.abs(got - ref).max() < 0.02 * scale
+    for variant in ("wide", "tiled", "tiled3"):
+        got = np.asarray(
+            roi_cnn_fused(jnp.asarray(roi), packed, interpret=True,
+                          compute_dtype=jnp.bfloat16, variant=variant)
+        )
+        assert np.abs(got - ref).max() < 0.02 * scale
 
 
 def test_fused2_tiled_variant(rng):
@@ -188,3 +189,19 @@ def test_fused2_sharded_predictor_matches_base(rng):
     p = p.shard(make_mesh(jax.devices("cpu"), data=8))
     got = p.predict_batch(X, L, R)
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_fused2_front_dtypes_bitwise_equal(rng):
+    """front='bf16'/'f32' pre-widen the raw 0..255 integers in XLA (exact:
+    they fit bf16's 8 mantissa bits) while /255 stays f32 in-kernel — all
+    fronts must be BITWISE identical (docs/ROI_CNN_PERF.md round-4
+    follow-up 2 measured this on-chip too)."""
+    params = init_roi_cnn(jax.random.PRNGKey(7))
+    packed = pack_roi_cnn_fused(params)
+    roi = jnp.asarray(rng.integers(0, 256, (16, 48, 96), dtype=np.uint8))
+    base = np.asarray(roi_cnn_fused(roi, packed, interpret=True,
+                                    variant="tiled3", front="u8"))
+    for front in ("bf16", "f32"):
+        got = np.asarray(roi_cnn_fused(roi, packed, interpret=True,
+                                       variant="tiled3", front=front))
+        assert np.array_equal(got, base), front
