@@ -55,10 +55,12 @@ class Predictor:
     compute_dtype: str = "float32"  # "bfloat16" = fast serving mode
     # 'auto' | 'xla' | 'grouped' | 'pallas' | 'fused' (parity-packed
     # single-program Pallas CNN, ops/pallas_cnn2.py). 'auto' resolves to
-    # 'fused' when serving on a real TPU (measured 1.42x over 'grouped'
-    # e2e at the same <=1e-3 parity bar, scripts/bench_fused_cnn.py
-    # 2026-08-18) and to 'xla' elsewhere (off-TPU the Pallas kernel only
-    # runs in interpret mode, which is orders of magnitude slower).
+    # 'fused' when serving the reference 48x96 ROI on a real TPU — BOTH
+    # dtypes since the free-reshape front + tiled3 (f32 54.2k vs grouped
+    # 31.8k, bf16 57.3k vs grouped 47.5k clips/s e2e,
+    # scripts/bench_fused_cnn.py 2026-08-18) — and to 'xla' elsewhere
+    # (off-TPU the Pallas kernel only runs in interpret mode, which is
+    # orders of magnitude slower).
     roi_impl: str = "auto"
     # fused-CNN stage scheme: 'wide' | 'tiled' (tiled stage 2) | 'tiled3'
     # (tiled stages 2 AND 3) — scripts/bench_fused_cnn.py measures which
@@ -85,12 +87,6 @@ class Predictor:
 
             if default_interpret():
                 self.roi_impl = "xla"
-            elif dtype == jnp.bfloat16:
-                # fused bf16 measured BELOW grouped bf16 (at F_TILE=32:
-                # 46.1k vs 47.1k clips/s e2e) — the fused kernel's
-                # internals are f32, so bf16 only shrinks the grouped
-                # path's HBM bytes
-                self.roi_impl = "grouped"
             elif (self.cfg.roi_h, self.cfg.roi_w) != (48, 96):
                 # the fused kernel's packing geometry is specific to the
                 # reference 48x96 ROI (ops/pallas_cnn2.py)
