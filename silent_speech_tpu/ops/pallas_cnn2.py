@@ -280,9 +280,16 @@ def _roi_fused_kernel(standardize: bool, variant: str, F: int, front: str,
     elif variant == "tiled":
         (halo_ref, p1_ref, c1_ref, he_ref, ho_ref, p2t_ref, c2_ref,
          p3_ref, c3_ref) = scratch
-    else:  # tiled3: tiled stage 2 AND stage 3 (he/p2t reused as halo/patch)
+    elif variant == "tiled3":  # tiled stage 2 AND 3 (he/p2t reused)
         (halo_ref, p1_ref, c1_ref, he_ref, ho_ref, p2t_ref, c2_ref,
          c3_ref) = scratch
+    elif variant == "stacked":  # tiled3 geometry, ALL tile dots stacked on M
+        (halo_ref, p1_ref, y1_ref, c1_ref, he_ref, ho_ref, p2s_ref,
+         y2_ref, c2_ref, c3_ref) = scratch
+    else:  # stacked1: stacked stage 1 only, tiled3 stages 2+3 (the measured
+           # winner split — stacking won stage 1 but lost stages 2/3)
+        (halo_ref, p1_ref, y1_ref, c1_ref, he_ref, ho_ref, p2t_ref,
+         c2_ref, c3_ref) = scratch
     M = F * HQ
     kk = _iota2((M, 1), 0) % HQ  # in-frame row index
 
@@ -353,26 +360,57 @@ def _roi_fused_kernel(standardize: bool, variant: str, F: int, front: str,
     ]
     b1 = b1_ref[...]
     p1_ref[:, 3 * 34:] = jnp.zeros_like(p1_ref[:, 3 * 34:])
-    for base, (ca, cb) in ((0, (0, 1)), (384, (2, 3))):
-        for c in (ca, cb):
+    if variant in ("stacked", "stacked1"):
+        # all 12 (class, j) patches stacked on M share the one [W1E | W1O]
+        # weight -> ONE (12M, KP1) dot instead of 12 (M, KP1) dots (the
+        # measured stage-1 rate, 39 T MAC/s, trails stage 3's 68 — short-M
+        # dot issue overhead). max commutes with the monotone bf16 rounding,
+        # so the post-dot cast keeps c1 bitwise-equal to the tiled3 order.
+        blk = lambda k: slice(k * M, (k + 1) * M)
+        for c in range(4):
             for j in range(3):
+                r = blk(3 * c + j)
                 for dy in range(3):
-                    p1_ref[:, dy * 34: dy * 34 + 34] = (
+                    p1_ref[r, dy * 34: dy * 34 + 34] = (
                         views[c][dy][:, 32 * j: 32 * j + 34])
-                p = p1_ref[...]
-                # one dot against [W1E | W1O] (128-lane halves): same
-                # per-column accumulation as two separate dots (bitwise),
-                # half the dot-issue count and a fuller MXU N dimension
-                y = jnp.dot(p, w1_ref[...],
-                            preferred_element_type=jnp.float32)
-                m = jnp.maximum(y[:, 0:128], y[:, 128:256]).astype(cdtype)
+        y1_ref[...] = jnp.dot(p1_ref[...], w1_ref[...],
+                              preferred_element_type=jnp.float32)
+        for base, (ca, cb) in ((0, (0, 1)), (384, (2, 3))):
+            for j in range(3):
+                ya = y1_ref[blk(3 * ca + j)]
+                yb = y1_ref[blk(3 * cb + j)]
+                m = jnp.maximum(
+                    jnp.maximum(ya[:, 0:128], ya[:, 128:256]),
+                    jnp.maximum(yb[:, 0:128], yb[:, 128:256]))
                 sl = slice(base + 128 * j, base + 128 * (j + 1))
-                if c == ca:
-                    c1_ref[:, sl] = m
-                else:
-                    c1_ref[:, sl] = jnp.maximum(c1_ref[:, sl], m)
-        osl = slice(base, base + 384)
-        c1_ref[:, osl] = jnp.maximum(c1_ref[:, osl] + b1.astype(cdtype), 0.0)
+                c1_ref[:, sl] = m.astype(cdtype)
+            osl = slice(base, base + 384)
+            c1_ref[:, osl] = jnp.maximum(
+                c1_ref[:, osl] + b1.astype(cdtype), 0.0)
+    else:
+        for base, (ca, cb) in ((0, (0, 1)), (384, (2, 3))):
+            for c in (ca, cb):
+                for j in range(3):
+                    for dy in range(3):
+                        p1_ref[:, dy * 34: dy * 34 + 34] = (
+                            views[c][dy][:, 32 * j: 32 * j + 34])
+                    p = p1_ref[...]
+                    # one dot against [W1E | W1O] (128-lane halves): same
+                    # per-column accumulation as two separate dots
+                    # (bitwise), half the dot-issue count and a fuller MXU
+                    # N dimension
+                    y = jnp.dot(p, w1_ref[...],
+                                preferred_element_type=jnp.float32)
+                    m = jnp.maximum(y[:, 0:128],
+                                    y[:, 128:256]).astype(cdtype)
+                    sl = slice(base + 128 * j, base + 128 * (j + 1))
+                    if c == ca:
+                        c1_ref[:, sl] = m
+                    else:
+                        c1_ref[:, sl] = jnp.maximum(c1_ref[:, sl], m)
+            osl = slice(base, base + 384)
+            c1_ref[:, osl] = jnp.maximum(
+                c1_ref[:, osl] + b1.astype(cdtype), 0.0)
 
     if _DEBUG_STOP_AFTER == "conv1":
         out_ref[...] = jnp.zeros_like(out_ref[...]) + jnp.sum(c1_ref[...])
@@ -408,22 +446,43 @@ def _roi_fused_kernel(standardize: bool, variant: str, F: int, front: str,
         hO = ho_ref[...]
         vOd = _shift_down(hO, kk)   # input row 2p-1
         vEu = _shift_up(hE, kk)     # input row 2p+2
-        p2t_ref[:, 480:] = jnp.zeros_like(p2t_ref[:, 480:])
         b2t = b2_ref[:, 0:128]      # q_off*16+co tile == first 8 q's bias
-        for j in range(3):
-            sl = slice(128 * j, 128 * j + 160)
-            for dy, view in ((0, vOd), (1, hE), (2, hO)):        # E rows 2p
-                p2t_ref[:, dy * 160: dy * 160 + 160] = view[:, sl]
-            yE = jnp.dot(p2t_ref[...], w2_ref[...],
-                         preferred_element_type=jnp.float32)
-            for dy, view in ((0, hE), (1, hO), (2, vEu)):        # O rows 2p+1
-                p2t_ref[:, dy * 160: dy * 160 + 160] = view[:, sl]
-            yO = jnp.dot(p2t_ref[...], w2_ref[...],
-                         preferred_element_type=jnp.float32)
-            c2_ref[:, 128 * j: 128 * (j + 1)] = jnp.maximum(
-                jnp.maximum(jnp.maximum(yE[:, 0:128], yE[:, 128:256]),
-                            jnp.maximum(yO[:, 0:128], yO[:, 128:256]))
-                + b2t, 0.0).astype(cdtype)
+        if variant == "stacked":
+            # 6 (parity, j) patches stacked -> ONE (6M, 512) dot
+            blk = lambda k: slice(k * M, (k + 1) * M)
+            p2s_ref[:, 480:] = jnp.zeros_like(p2s_ref[:, 480:])
+            for pi, viewset in ((0, (vOd, hE, hO)),    # E rows 2p
+                                (1, (hE, hO, vEu))):   # O rows 2p+1
+                for j in range(3):
+                    r = blk(3 * pi + j)
+                    sl = slice(128 * j, 128 * j + 160)
+                    for dy, view in enumerate(viewset):
+                        p2s_ref[r, dy * 160: dy * 160 + 160] = view[:, sl]
+            y2_ref[...] = jnp.dot(p2s_ref[...], w2_ref[...],
+                                  preferred_element_type=jnp.float32)
+            for j in range(3):
+                yE = y2_ref[blk(j)]
+                yO = y2_ref[blk(3 + j)]
+                c2_ref[:, 128 * j: 128 * (j + 1)] = jnp.maximum(
+                    jnp.maximum(jnp.maximum(yE[:, 0:128], yE[:, 128:256]),
+                                jnp.maximum(yO[:, 0:128], yO[:, 128:256]))
+                    + b2t, 0.0).astype(cdtype)
+        else:
+            p2t_ref[:, 480:] = jnp.zeros_like(p2t_ref[:, 480:])
+            for j in range(3):
+                sl = slice(128 * j, 128 * j + 160)
+                for dy, view in ((0, vOd), (1, hE), (2, hO)):    # E rows 2p
+                    p2t_ref[:, dy * 160: dy * 160 + 160] = view[:, sl]
+                yE = jnp.dot(p2t_ref[...], w2_ref[...],
+                             preferred_element_type=jnp.float32)
+                for dy, view in ((0, hE), (1, hO), (2, vEu)):  # O rows 2p+1
+                    p2t_ref[:, dy * 160: dy * 160 + 160] = view[:, sl]
+                yO = jnp.dot(p2t_ref[...], w2_ref[...],
+                             preferred_element_type=jnp.float32)
+                c2_ref[:, 128 * j: 128 * (j + 1)] = jnp.maximum(
+                    jnp.maximum(jnp.maximum(yE[:, 0:128], yE[:, 128:256]),
+                                jnp.maximum(yO[:, 0:128], yO[:, 128:256]))
+                    + b2t, 0.0).astype(cdtype)
 
     if _DEBUG_STOP_AFTER == "conv2":
         out_ref[...] = jnp.zeros_like(out_ref[...]) + jnp.sum(c2_ref[...])
@@ -431,7 +490,28 @@ def _roi_fused_kernel(standardize: bool, variant: str, F: int, front: str,
 
     # ---- stage 3: conv2 (full-width or tiled) + global mean + fc ----
     c2v = c2_ref[...]
-    if variant == "tiled3":
+    if variant == "stacked":
+        # tiled3 scheme, 3 j-patches stacked -> ONE (3M, 512) dot; reuses
+        # p2s/y2 rows [0:3M] (p2s lanes 480+ already zeroed by stage 2)
+        blk = lambda k: slice(k * M, (k + 1) * M)
+        he_ref[...] = jnp.zeros_like(he_ref[...])
+        he_ref[:, 16:400] = c2v
+        h3 = he_ref[...]
+        v3d = _shift_down(h3, kk)
+        v3u = _shift_up(h3, kk)
+        b3 = b3_ref[...]
+        for j in range(3):
+            sl = slice(128 * j, 128 * j + 160)
+            r = blk(j)
+            p2s_ref[r, 0:160] = v3d[:, sl]
+            p2s_ref[r, 160:320] = h3[:, sl]
+            p2s_ref[r, 320:480] = v3u[:, sl]
+        y2_ref[0:3 * M] = jnp.dot(p2s_ref[0:3 * M], w3_ref[...],
+                                  preferred_element_type=jnp.float32)
+        for j in range(3):
+            c3_ref[:, 256 * j: 256 * (j + 1)] = jnp.maximum(
+                y2_ref[blk(j)] + b3, 0.0)
+    elif variant in ("tiled3", "stacked1"):
         # mirror of the stage-2 tiling (0.59x the full-width packed MACs):
         # c2 haloed by 16 lanes (= one w position) so the per-tile slice
         # [128j, 128j+160) is exactly the 10 input w that tile j's 8 outputs
@@ -469,7 +549,7 @@ def _roi_fused_kernel(standardize: bool, variant: str, F: int, front: str,
     sfr = (_iota2((F, M), 1) // HQ == _iota2((F, M), 0)).astype(jnp.float32)
     by_frame = jnp.dot(sfr, c3_ref[...],
                        preferred_element_type=jnp.float32)  # (F, 576|768)
-    ch_step = 32 if variant == "tiled3" else C3
+    ch_step = 32 if variant in ("tiled3", "stacked", "stacked1") else C3
     L3 = W2P * ch_step
     scol = (_iota2((L3, C3), 0) % ch_step
             == _iota2((L3, C3), 1)).astype(jnp.float32)
@@ -509,9 +589,13 @@ def roi_cnn_fused(
     (tests/test_bf16_parity.py), same as the XLA bf16 serving mode.
 
     ``variant``: 'wide' (full-width stage-2 matmuls, zero sub-128-lane
-    slices) or 'tiled' (2.25x fewer stage-2 MACs via (512, 256) tile
-    matmuls, three 160-lane patch slices per dy view) — which wins is an
-    MXU-rate-vs-copy-cost tradeoff measured by scripts/bench_fused_cnn.py.
+    slices), 'tiled' (2.25x fewer stage-2 MACs via (512, 256) tile
+    matmuls, three 160-lane patch slices per dy view), 'tiled3' (stage 3
+    tiled the same way — the measured default), or the retired-but-exact
+    'stacked'/'stacked1' (per-stage tile dots stacked on M into one tall
+    dot; bitwise-equal, measured slower — docs/ROI_CNN_PERF.md round-4
+    follow-up 3). Which wins is an MXU-rate-vs-copy-cost tradeoff measured
+    by scripts/bench_fused_cnn.py.
 
     ``f_tile``: frames per grid step (M = 12*f_tile matmul rows). Bigger
     tiles feed the MXU taller dots (the packed shapes run well below peak
@@ -522,7 +606,7 @@ def roi_cnn_fused(
     regroups their f32 reduction tree (<=1e-6 reassociation drift,
     tests/test_pallas_cnn2.py).
     """
-    if variant not in ("wide", "tiled", "tiled3"):
+    if variant not in ("wide", "tiled", "tiled3", "stacked", "stacked1"):
         raise ValueError(f"unknown variant {variant!r}")
     if front not in ("u8", "bf16", "f32"):
         raise ValueError(f"unknown front {front!r}")
@@ -572,13 +656,30 @@ def roi_cnn_fused(
     w1 = jnp.concatenate([packed["w1e"], packed["w1o"]], axis=1)
     shared_scratch = [
         pltpu.VMEM((4, M, 128), cdtype),        # stage-1 haloed classes
-        pltpu.VMEM((M, KP1), cdtype),           # stage-1 patch
-        pltpu.VMEM((M, 768), cdtype),           # c1p (parity halves)
     ]
+    if variant in ("stacked", "stacked1"):
+        shared_scratch += [
+            pltpu.VMEM((12 * M, KP1), cdtype),      # stacked stage-1 patch
+            pltpu.VMEM((12 * M, 256), jnp.float32),  # y1 (dot output)
+            pltpu.VMEM((M, 768), cdtype),           # c1p (parity halves)
+        ]
+    else:
+        shared_scratch += [
+            pltpu.VMEM((M, KP1), cdtype),           # stage-1 patch
+            pltpu.VMEM((M, 768), cdtype),           # c1p (parity halves)
+        ]
     if variant == "wide":
         w2_key, w2_shape = "w2", (1152, 768)
         stage2_scratch = [
             pltpu.VMEM((M, 1536), cdtype),      # stage-2 4-view patch
+        ]
+    elif variant == "stacked":
+        w2_key, w2_shape = "w2t", (512, 256)
+        stage2_scratch = [
+            pltpu.VMEM((M, 512), cdtype),            # hE (16-lane halos)
+            pltpu.VMEM((M, 512), cdtype),            # hO
+            pltpu.VMEM((6 * M, 512), cdtype),        # stacked patch (s3
+            pltpu.VMEM((6 * M, 256), jnp.float32),   # y2   reuses [0:3M])
         ]
     else:
         w2_key, w2_shape = "w2t", (512, 256)
@@ -587,8 +688,8 @@ def roi_cnn_fused(
             pltpu.VMEM((M, 512), cdtype),       # hO
             pltpu.VMEM((M, 512), cdtype),       # stage-2 tile patch
         ]
-    if variant == "tiled3":
-        # stage-3 tiling reuses hE/p2t as its halo/patch buffers
+    if variant in ("tiled3", "stacked", "stacked1"):
+        # stage-3 tiling reuses hE (+ p2t / the stacked patch) buffers
         w3_key, w3_shape, b3_key, b3_shape = "w3t", (512, 256), "b3t", (1, 256)
         stage3_scratch = [
             pltpu.VMEM((M, 768), jnp.float32),  # c3 (w*32+co padded layout)

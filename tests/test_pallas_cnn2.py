@@ -146,6 +146,28 @@ def test_fused2_tiled_variant(rng):
             np.testing.assert_allclose(got, ref, atol=tol, rtol=tol / 2)
 
 
+def test_fused2_stacked_variants_bitwise_equal_tiled3(rng):
+    """'stacked' (every stage's tile dots stacked on M into one tall dot)
+    and 'stacked1' (stage 1 only stacked, stages 2/3 tiled3) reorder ROWS
+    of the same matmuls, never their K contractions — both must be BITWISE
+    equal to 'tiled3' in f32 and bf16 modes (max commutes with the monotone
+    bf16 rounding). Measured on-chip 2026-08-18: full 'stacked' loses e2e
+    (49.1k vs 55.1k clips/s) — stage-1 stacking wins 0.38 ms but stages 2/3
+    stacking loses more; 'stacked1' keeps only the winning half."""
+    params = init_roi_cnn(jax.random.PRNGKey(9))
+    packed = pack_roi_cnn_fused(params)
+    roi = jnp.asarray(rng.integers(0, 256, (24, 48, 96), dtype=np.uint8))
+    for dtype in (jnp.float32, jnp.bfloat16):
+        base = np.asarray(roi_cnn_fused(roi, packed, interpret=True,
+                                        variant="tiled3",
+                                        compute_dtype=dtype))
+        for variant in ("stacked", "stacked1"):
+            got = np.asarray(roi_cnn_fused(roi, packed, interpret=True,
+                                           variant=variant,
+                                           compute_dtype=dtype))
+            assert np.array_equal(got, base), (variant, dtype)
+
+
 def test_fused2_constant_frame_standardize_stays_finite(rng):
     """A constant (covered/saturated-camera) frame must not NaN-poison its
     frame tile: the in-kernel E[x^2]-E[x]^2 variance can go slightly
