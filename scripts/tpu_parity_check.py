@@ -82,6 +82,11 @@ def main():
              "fused/scan/f32/parity"),
             ("fused", "pallas", jnp.float32, None, "fused/pallas/f32"),
             ("fused", "pallas", jnp.bfloat16, None, "fused/pallas/bf16"),
+            # THE serving default (Predictor 'auto' on TPU f32 since
+            # 2026-08-18): fused CNN + pallas GRU + parity head raise —
+            # the audited mode must be the shipped mode
+            ("fused", "pallas", jnp.float32, "parity",
+             "fused/pallas/f32/parity"),
         ):
             logits = np.asarray(model.live_forward(
                 params, mcfg, jnp.asarray(X), jnp.asarray(L.astype(np.int32)),

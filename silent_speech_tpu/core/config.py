@@ -105,7 +105,10 @@ class InferConfig:
     roi_impl: str = "auto"
     # fused-CNN stage scheme ('wide'|'tiled'|'tiled3'); see infer/predictor.py
     roi_variant: str = "tiled3"
-    gru_impl: str = "scan"  # "pallas" = fused sequence kernel (bit-identical)
+    # 'auto' = pallas fused kernel on TPU (<=1.1e-4 vs scan, argmax exact;
+    # ~4% e2e win with the fused CNN shipped), scan off-TPU; see
+    # infer/predictor.py
+    gru_impl: str = "auto"
     # "" = the Predictor default ("parity": <=1e-3 on-chip logits at ~1%
     # cost); "default" = backend default matmuls (fastest, 2.6e-3 drift);
     # "highest" = strict true-f32 mode (5e-6)
@@ -189,7 +192,7 @@ class EvalConfig:
     compute_dtype: str = "float32"
     roi_impl: str = "auto"  # see InferConfig.roi_impl
     roi_variant: str = "tiled3"
-    gru_impl: str = "scan"
+    gru_impl: str = "auto"  # see InferConfig.gru_impl
     # "" = the Predictor default ("parity": <=1e-3 on-chip logits at ~1%
     # cost); "default" = backend default matmuls (fastest, 2.6e-3 drift);
     # "highest" = strict true-f32 mode (5e-6)

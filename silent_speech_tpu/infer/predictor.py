@@ -67,7 +67,17 @@ class Predictor:
     # wins on-chip; 'tiled3' won f32 on v5e (55.2k vs 50.5k clips/s e2e,
     # 2026-08-18). Ignored unless roi_impl='fused'.
     roi_variant: str = "tiled3"
-    gru_impl: str = "scan"  # "pallas" = fused sequence kernel (bit-identical)
+    # 'auto' | 'scan' | 'pallas' (fused K-step sequence kernel,
+    # ops/pallas_gru.py). 'auto' resolves to 'pallas' on a real TPU: with
+    # the fused CNN shipped the GRU's e2e share grew enough that the
+    # kernel's 1.17x is now ~4% e2e (B=256 f32 51.4k vs 49.3k clips/s;
+    # B=1 p50 0.51 vs 0.56 ms, 2026-08-18 — round 2 measured ~1% when the
+    # CNN dominated) — and to 'scan' off-TPU (interpret-only there).
+    # Fidelity: parity-mode logits drift <=1.1e-4 vs the scan (argmax
+    # exact, 5-seed on-chip sweep) and the shipped-mode audit row
+    # fused/pallas/f32/parity holds 8.76e-4 vs torch (docs/GRU_PERF.md
+    # round-4 note; scripts/tpu_parity_check.py).
+    gru_impl: str = "auto"
     # "parity" (the serving default) = head-site precision raise — the
     # cheapest mode holding on-chip logits <= 1e-3 vs torch at ~1%
     # throughput cost (measured, docs/PRECISION.md;
@@ -93,6 +103,11 @@ class Predictor:
                 self.roi_impl = "grouped"
             else:
                 self.roi_impl = "fused"
+
+        if self.gru_impl == "auto":
+            from ..ops.pallas_gru import default_interpret
+
+            self.gru_impl = "scan" if default_interpret() else "pallas"
 
         roi_packed = None
         if self.roi_impl == "fused" and self.cfg.use_roi:

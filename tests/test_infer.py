@@ -249,6 +249,7 @@ def test_predictor_auto_guards_fused_geometry(monkeypatch, rng):
     params = model.init_params(jax.random.PRNGKey(0), cfg)
     p = Predictor(params=params, cfg=cfg, id_to_label=labels, max_t=20)
     assert p.roi_impl == "fused"
+    assert p.gru_impl == "pallas"  # 'auto' on TPU: ~4% e2e, bit-identical
     cfg2 = model.BiGRUConfig(roi_h=96, roi_w=192, **base)
     p2 = Predictor(params=model.init_params(jax.random.PRNGKey(0), cfg2),
                    cfg=cfg2, id_to_label=labels, max_t=20)
@@ -258,6 +259,12 @@ def test_predictor_auto_guards_fused_geometry(monkeypatch, rng):
     roi = jnp.asarray(rng.integers(0, 256, (4, 96, 192), dtype=np.uint8))
     with pytest.raises(ValueError, match="48x96"):
         roi_cnn_fused(roi, packed, interpret=True)
+
+    # off-TPU (interpret backends) 'auto' falls back to the scan GRU — the
+    # Pallas kernel only interprets there
+    monkeypatch.setattr(pallas_gru, "default_interpret", lambda: True)
+    p3 = Predictor(params=params, cfg=cfg, id_to_label=labels, max_t=20)
+    assert p3.gru_impl == "scan" and p3.roi_impl == "xla"
 
 
 def test_predictor_fused_roi_impl_matches_default(rng):
