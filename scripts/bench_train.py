@@ -79,6 +79,11 @@ def main():
         (16, jnp.float32, "xla", False, "B16_f32"),
         (256, jnp.float32, "xla", False, "B256_f32"),
         (256, jnp.bfloat16, "xla", False, "B256_bf16"),
+        # roi_impl='fused': the recompute-in-VMEM custom-VJP kernel pair
+        # (ops/pallas_cnn2_grad.py) — 1.7x at B=256 f32, loses at B=16
+        # (TrainConfig 'auto' picks the winner; docs/TRAIN_PERF.md round 4)
+        (256, jnp.float32, "fused", False, "B256_f32_fused"),
+        (256, jnp.bfloat16, "fused", False, "B256_bf16_fused"),
         # roi_remat: recompute the ROI-CNN activations in the backward —
         # the step is activation-HBM-bound (docs/TRAIN_PERF.md)
         (256, jnp.float32, "xla", True, "B256_f32_remat"),

@@ -71,7 +71,10 @@ class TrainConfig:
     head_dropout: float = 0.2
     # TPU-specific knobs (no reference counterpart)
     compute_dtype: str = "float32"  # "bfloat16" for throughput
-    roi_impl: str = "xla"  # 'grouped' = bitwise-identical faster ROI CNN
+    # 'auto' = 'fused' (recompute-in-VMEM custom-VJP Pallas kernel pair,
+    # 1.4-1.7x on TPU at >=4096 frames/step) else 'xla'; also accepts
+    # explicit 'xla' | 'grouped' | 'fused' (train/step.resolve_roi_impl)
+    roi_impl: str = "auto"
     # recompute ROI-CNN activations in the backward instead of storing them
     # (identical gradients; the step is activation-HBM-bound —
     # docs/TRAIN_PERF.md has the measurement)

@@ -201,9 +201,12 @@ def forward(
 
     ``gru_impl``: 'scan' (differentiable, default) or 'pallas' (fused
     sequence kernel, inference-only). ``roi_impl``: 'xla', 'grouped',
-    'pallas', or 'fused' (the parity-packed single-program TinyROICNN
-    kernel, ops/pallas_cnn2.py; inference-only; pass ``roi_packed`` from
-    the matching pack function to reuse packed weights across calls).
+    'pallas' (inference-only), or 'fused' (the parity-packed
+    single-program TinyROICNN kernel, ops/pallas_cnn2.py; pass
+    ``roi_packed`` from the matching pack function to reuse packed weights
+    across inference calls). With ``train=True``, 'fused' routes to the
+    custom-VJP kernel pair (ops/pallas_cnn2_grad.py) whose backward
+    recomputes activations in VMEM instead of storing them in HBM.
 
     ``matmul_precision``: None = backend default; a string ('high',
     'highest', ...) applies globally to this forward; ``'parity'`` is the
@@ -243,7 +246,20 @@ def forward(
         if roi is None:
             raise ValueError("model was built with use_roi=True but got roi=None")
         with _prec_scope(site_prec.get("roi")):
-            if roi_impl == "fused" and not train:
+            if roi_impl == "fused" and train:
+                # differentiable fused CNN: recompute-in-VMEM backward
+                # emitting weight grads only — bypasses the activation-HBM
+                # roofline that binds the XLA train step (docs/TRAIN_PERF.md)
+                from ..ops.pallas_cnn2_grad import roi_cnn_fused_train
+
+                B, T = roi.shape[:2]
+                fused_kw = {} if roi_f_tile is None else {
+                    "f_tile": roi_f_tile}
+                roi_e = roi_cnn_fused_train(
+                    roi.reshape(B * T, *roi.shape[2:]), params["roi_cnn"],
+                    standardize=roi_standardize, **fused_kw,
+                ).reshape(B, T, -1).astype(compute_dtype)
+            elif roi_impl == "fused":
                 from ..ops.pallas_cnn2 import (
                     pack_roi_cnn_fused_traceable, roi_cnn_fused)
 
@@ -356,15 +372,19 @@ def live_forward(params, cfg, X, lengths, roi=None, compute_dtype=jnp.float32,
 
 def train_forward(params, cfg, X, lengths, roi=None, *, train=True, rng=None,
                   compute_dtype=jnp.float32, roi_impl: str = "xla",
-                  roi_remat: bool = False):
+                  roi_remat: bool = False,
+                  roi_f_tile: Optional[int] = None):
     """The training-path forward (per-frame ROI standardization,
     train_model_official.py:279-310).
 
     ``roi_impl='grouped'`` is valid here too: the grouped conv is bitwise
     identical to the per-frame path (tests/test_grouped_cnn.py) and
-    differentiable (plain XLA grouped convolutions). ``roi_remat``
-    recomputes the ROI-CNN activations in the backward (identical grads,
-    less HBM traffic — measured in docs/TRAIN_PERF.md).
+    differentiable (plain XLA grouped convolutions); ``roi_impl='fused'``
+    with ``train=True`` uses the custom-VJP kernel pair
+    (ops/pallas_cnn2_grad.py). ``roi_remat`` recomputes the ROI-CNN
+    activations in the backward (identical grads, less HBM traffic —
+    measured in docs/TRAIN_PERF.md; a no-op for 'fused', which never
+    stores them).
     """
     return forward(
         params,
@@ -378,4 +398,5 @@ def train_forward(params, cfg, X, lengths, roi=None, *, train=True, rng=None,
         compute_dtype=compute_dtype,
         roi_impl=roi_impl,
         roi_remat=roi_remat,
+        roi_f_tile=roi_f_tile,
     )

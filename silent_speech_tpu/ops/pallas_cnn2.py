@@ -269,6 +269,44 @@ def _shift_up(x, kk):
     return jnp.where(kk == HQ - 1, 0.0, _roll_rows(x, x.shape[0] - 1))
 
 
+def _front_widen(x_ref, front: str):
+    """u8 block load + widen + /255 scale (f32). front='u8' widens via i32
+    (Mosaic has no u8->f32 cast); 'bf16'/'f32' arrive pre-widened from XLA.
+    Shared by the forward kernel and the training backward's recompute so
+    the normalization math cannot diverge."""
+    xv = x_ref[...]
+    if front == "u8":
+        xv = xv.astype(jnp.int32)
+    return xv.astype(jnp.float32) * (1.0 / 255.0)
+
+
+def _front_classes(xw, standardize: bool, F: int):
+    """(M, 384) scaled rows -> the four 96-lane h-mod-4 class buffers,
+    optionally per-frame standardized (ddof=1, train_model_official.py:
+    286-291). The E[x^2]-E[x]^2 variance is clamped before sqrt: a
+    constant/saturated frame would otherwise NaN and the selector broadcast
+    (0*NaN) would poison the whole tile."""
+    M = xw.shape[0]
+    xs = [xw[:, W0 * c: W0 * (c + 1)] for c in range(4)]
+    if not standardize:
+        return xs
+    n_px = H0 * W0
+    sf = (_iota2((F, M), 1) // HQ == _iota2((F, M), 0)).astype(jnp.float32)
+    fsum = jnp.zeros((F, 1), jnp.float32)
+    fsq = jnp.zeros((F, 1), jnp.float32)
+    for x in xs:
+        fsum = fsum + jnp.dot(sf, jnp.sum(x, axis=1, keepdims=True),
+                              preferred_element_type=jnp.float32)
+        fsq = fsq + jnp.dot(sf, jnp.sum(x * x, axis=1, keepdims=True),
+                            preferred_element_type=jnp.float32)
+    mu = fsum / n_px
+    var = jnp.maximum(fsq - fsum * fsum / n_px, 0.0) / (n_px - 1)
+    inv = 1.0 / jnp.maximum(jnp.sqrt(var), 1e-6)
+    mu_b = jnp.dot(sf.T, mu, preferred_element_type=jnp.float32)
+    inv_b = jnp.dot(sf.T, inv, preferred_element_type=jnp.float32)
+    return [(x - mu_b) * inv_b for x in xs]
+
+
 def _roi_fused_kernel(standardize: bool, variant: str, F: int, front: str,
                       x_ref,
                       w1_ref, b1_ref,
@@ -309,38 +347,12 @@ def _roi_fused_kernel(standardize: bool, variant: str, F: int, front: str,
     # pays 2x/4x input DMA bytes but skips the unpack. Scale stays f32
     # in-kernel, so all fronts are bitwise-identical.
     cdtype = halo_ref.dtype
-    xv = x_ref[...]
-    if front == "u8":
-        xv = xv.astype(jnp.int32)
-    xw = xv.astype(jnp.float32) * (1.0 / 255.0)
-    xs = [xw[:, W0 * c: W0 * (c + 1)] for c in range(4)]
+    xw = _front_widen(x_ref, front)
     if _DEBUG_STOP_AFTER == "load":
         # u8 block load + widen + scale only (no halo fill)
         out_ref[...] = jnp.zeros_like(out_ref[...]) + jnp.sum(xw)
         return
-
-    if standardize:
-        # training-path per-frame standardization (ddof=1,
-        # train_model_official.py:286-291) from the 4 class buffers: row
-        # sums -> frame-selector matmul, broadcast back the same way
-        n_px = H0 * W0
-        sf = (_iota2((F, M), 1) // HQ == _iota2((F, M), 0)).astype(jnp.float32)
-        fsum = jnp.zeros((F, 1), jnp.float32)
-        fsq = jnp.zeros((F, 1), jnp.float32)
-        for x in xs:
-            fsum = fsum + jnp.dot(sf, jnp.sum(x, axis=1, keepdims=True),
-                                  preferred_element_type=jnp.float32)
-            fsq = fsq + jnp.dot(sf, jnp.sum(x * x, axis=1, keepdims=True),
-                                preferred_element_type=jnp.float32)
-        mu = fsum / n_px
-        # clamp: the E[x^2]-E[x]^2 form can go slightly NEGATIVE in f32 on a
-        # constant frame (covered/saturated camera) — sqrt would NaN and the
-        # selector broadcast (0*NaN) would poison the whole 16-frame tile
-        var = jnp.maximum(fsq - fsum * fsum / n_px, 0.0) / (n_px - 1)
-        inv = 1.0 / jnp.maximum(jnp.sqrt(var), 1e-6)
-        mu_b = jnp.dot(sf.T, mu, preferred_element_type=jnp.float32)
-        inv_b = jnp.dot(sf.T, inv, preferred_element_type=jnp.float32)
-        xs = [(x - mu_b) * inv_b for x in xs]
+    xs = _front_classes(xw, standardize, F)
 
     # ---- stage 1: parity conv0 + pool1 (proto_parity_e2e scheme) ----
     for c in range(4):

@@ -32,7 +32,8 @@ from ..data import (
 from ..models import bigru as model
 from .checkpoint import load_checkpoint, reference_meta, save_checkpoint
 from .metrics import MetricsLogger, profiler_trace
-from .step import StepConfig, make_eval_step, make_optimizer, make_train_step
+from .step import (StepConfig, make_eval_step, make_optimizer,
+                   make_train_step, resolve_roi_impl)
 
 
 def train(
@@ -107,7 +108,11 @@ def train(
             drop_max=cfg.drop_frames_max,
         ),
         compute_dtype=cfg.compute_dtype,
-        roi_impl=cfg.roi_impl,
+        # 'auto' -> 'fused' on TPU at >=4096 frames/step (1.4-1.7x, see
+        # resolve_roi_impl), 'xla' otherwise (incl. the reference B=16)
+        roi_impl=resolve_roi_impl(
+            cfg.roi_impl, mcfg, cfg.batch_size * train_ds.max_t,
+            sharded=bool(cfg.mesh_shape)),
         roi_remat=cfg.roi_remat,
     )
 

@@ -36,14 +36,41 @@ def make_optimizer(lr: float, grad_clip_norm: float = 1.0):
     )
 
 
+def resolve_roi_impl(roi_impl: str, mcfg, frames_per_step: int,
+                     sharded: bool = False) -> str:
+    """Resolve a TrainConfig ``roi_impl='auto'`` to a concrete impl.
+
+    'fused' (the recompute-in-VMEM custom-VJP kernel pair) wins on a real
+    TPU once the batch amortizes the backward kernel's fixed cost —
+    measured crossover at T=32 (v5e-1, 2026-08-19): B=16 0.62x, B=64
+    1.08x, B=128 1.43x, B=256 1.72x vs 'xla'. The >=4096-frames gate takes
+    the clear wins and leaves the reference-protocol B=16 on 'xla'. The
+    sharded (GSPMD) step keeps 'xla' under 'auto': the fused pair is
+    virtual-mesh-tested but has never run on real multi-chip hardware
+    (explicitly passing roi_impl='fused' still works there).
+    """
+    if roi_impl != "auto":
+        return roi_impl
+    from ..ops.pallas_gru import default_interpret
+
+    if (not sharded and mcfg.use_roi
+            and (mcfg.roi_h, mcfg.roi_w) == (48, 96)
+            and frames_per_step >= 4096 and not default_interpret()):
+        return "fused"
+    return "xla"
+
+
 @dataclasses.dataclass(frozen=True)
 class StepConfig:
     model: model.BiGRUConfig
     label_smoothing: float = 0.05
     augment: Optional[AugmentConfig] = None
     compute_dtype: str = "float32"
-    # 'xla' or 'grouped' (frames packed into conv channel groups; bitwise
-    # identical and differentiable — see ops/grouped_cnn.py)
+    # 'xla', 'grouped' (frames packed into conv channel groups; bitwise
+    # identical and differentiable — see ops/grouped_cnn.py), or 'fused'
+    # (custom-VJP Pallas kernel pair whose backward recomputes activations
+    # in VMEM and emits weight grads only — ops/pallas_cnn2_grad.py;
+    # TPU + 48x96 ROI only, grads match 'xla' to f32 reassociation)
     roi_impl: str = "xla"
     # recompute ROI-CNN activations in the backward (identical grads; the
     # step is activation-HBM-bound — measured in docs/TRAIN_PERF.md)
