@@ -79,6 +79,13 @@ class TrainConfig:
     # (identical gradients; the step is activation-HBM-bound —
     # docs/TRAIN_PERF.md has the measurement)
     roi_remat: bool = False
+    # train steps per device dispatch on the HBM-resident-dataset path:
+    # 1 = one jitted step per batch (per-step metric fetch); K>1 = scan K
+    # steps inside ONE dispatch (lax.scan over stacked batch indices —
+    # same trajectory, host cost /K); 0 = the whole epoch in one dispatch.
+    # Same rng/update sequence as the per-step path (pinned by tests);
+    # ignored when mesh_shape or host_data is set.
+    steps_per_dispatch: int = 1
     mesh_shape: Optional[dict] = None  # e.g. {"data": 4, "model": 2}
     # keep the corpus in host RAM and ship batches per step instead of
     # holding the whole padded dataset in HBM (for corpora larger than HBM)
@@ -103,8 +110,10 @@ class InferConfig:
     topk: int = 3
     # TPU serving knobs (no reference counterpart)
     compute_dtype: str = "float32"  # "bfloat16" = fast serving mode
-    # 'auto' = the Predictor default: the fused Pallas CNN on TPU f32,
-    # grouped on TPU bf16, xla off-TPU. 'xla'/'grouped'/'fused' force a path.
+    # 'auto' = the Predictor default: the fused Pallas CNN on TPU (both
+    # dtypes — bf16 flipped to fused with the reshape front + tiled3,
+    # 2026-08-18), grouped for non-48x96 ROIs on TPU, xla off-TPU.
+    # 'xla'/'grouped'/'fused' force a path.
     roi_impl: str = "auto"
     # fused-CNN stage scheme ('wide'|'tiled'|'tiled3'); see infer/predictor.py
     roi_variant: str = "tiled3"

@@ -116,7 +116,9 @@ class Predictor:
             from ..ops.pallas_cnn2 import pack_roi_cnn_fused
 
             roi_packed = pack_roi_cnn_fused(
-                jax.tree.map(np.asarray, self.params["roi_cnn"]))
+                jax.tree.map(np.asarray, self.params["roi_cnn"]),
+                variant=self.roi_variant)
+        self._roi_packed = roi_packed
 
         @partial(jax.jit, static_argnames=())
         def _fwd(params, X, lengths, roi):
@@ -189,6 +191,7 @@ class Predictor:
         run = make_sharded_infer_fn(
             self.cfg, mesh, compute_dtype=jnp.dtype(self.compute_dtype),
             roi_impl=self.roi_impl, gru_impl=self.gru_impl,
+            roi_variant=self.roi_variant, roi_packed=self._roi_packed,
             matmul_precision=self.matmul_precision,
         )
         n_data = math.prod(

@@ -207,36 +207,48 @@ def pack_roi_cnn_fused_traceable(params: dict) -> dict:
     }
 
 
-def pack_roi_cnn_fused(params: dict) -> dict:
+def pack_roi_cnn_fused(params: dict, *, variant: Optional[str] = None) -> dict:
     """TinyROICNN param pytree (models/bigru.py layout) -> packed operands.
     Cheap (host-side numpy scatter over the shared _pack_indices geometry);
-    do once per loaded checkpoint."""
-    mats = []
-    for (rows, cols, flat), shape, src in zip(_pack_indices(), _PACK_SHAPES,
-                                              _PACK_SRC):
+    do once per loaded checkpoint.
+
+    ``variant=None`` packs every matrix (the sweep scripts feed one dict to
+    all variants). Passing the serving variant skips the full-width w2
+    (1152x768) / w3 (1152x576) — or the tile forms — that it never reads,
+    so a fixed-variant Predictor doesn't keep ~6 MB of dead f32 weights
+    resident in HBM."""
+    # keys each variant's kernel call actually loads (roi_cnn_fused)
+    need = {
+        None: ("w1e", "w1o", "w2", "w2t", "w3", "w3t"),
+        "wide": ("w1e", "w1o", "w2", "w3"),
+        "tiled": ("w1e", "w1o", "w2t", "w3"),
+    }.get(variant, ("w1e", "w1o", "w2t", "w3t"))  # tiled3/stacked/stacked1
+    mats = {}
+    for (rows, cols, flat), shape, src, key in zip(
+            _pack_indices(), _PACK_SHAPES, _PACK_SRC,
+            ("w1e", "w1o", "w2", "w2t", "w3", "w3t")):
+        if key not in need:
+            continue
         kf = np.asarray(params[src]["w"], np.float32).reshape(-1)
         W = np.zeros(shape, np.float32)
         W[rows, cols] = kf[flat]  # (row, col) pairs are unique per matrix
-        mats.append(jnp.asarray(W))
-    w1e, w1o, w2, w2t, w3, w3t = mats
+        mats[key] = jnp.asarray(W)
     tile = lambda b, n: np.tile(np.asarray(b, np.float32), n)[None, :]
-    b3 = np.asarray(params["conv2"]["b"], np.float32)
-    b3t = np.zeros((1, 256), np.float32)
-    for q in range(8):
-        b3t[0, q * 32: q * 32 + C3] = b3
-    return {
-        "w1e": w1e, "w1o": w1o,
-        "b1": jnp.asarray(tile(params["conv0"]["b"], W1P)),      # (1, 384)
-        "w2": w2,                                                # (1152, 768)
-        "w2t": w2t,                                              # (512, 256)
-        "b2": jnp.asarray(tile(params["conv1"]["b"], W2P)),      # (1, 384)
-        "w3": w3,
-        "b3": jnp.asarray(tile(params["conv2"]["b"], W2P)),      # (1, 576)
-        "w3t": w3t,                                              # (512, 256)
-        "b3t": jnp.asarray(b3t),                                 # (1, 256)
-        "fc_w": jnp.asarray(np.asarray(params["fc"]["w"], np.float32)),
-        "fc_b": jnp.asarray(np.asarray(params["fc"]["b"], np.float32)[None, :]),
-    }
+    out = dict(mats)
+    out["b1"] = jnp.asarray(tile(params["conv0"]["b"], W1P))     # (1, 384)
+    out["b2"] = jnp.asarray(tile(params["conv1"]["b"], W2P))     # (1, 384)
+    if "w3" in need:
+        out["b3"] = jnp.asarray(tile(params["conv2"]["b"], W2P))  # (1, 576)
+    if "w3t" in need:
+        b3 = np.asarray(params["conv2"]["b"], np.float32)
+        b3t = np.zeros((1, 256), np.float32)
+        for q in range(8):
+            b3t[0, q * 32: q * 32 + C3] = b3
+        out["b3t"] = jnp.asarray(b3t)                            # (1, 256)
+    out["fc_w"] = jnp.asarray(np.asarray(params["fc"]["w"], np.float32))
+    out["fc_b"] = jnp.asarray(
+        np.asarray(params["fc"]["b"], np.float32)[None, :])
+    return out
 
 
 # ----------------------------------------------------------------------------

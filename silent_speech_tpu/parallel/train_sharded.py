@@ -86,6 +86,8 @@ def make_sharded_infer_fn(
     compute_dtype=jnp.float32,
     roi_impl: str = "xla",
     gru_impl: str = "scan",
+    roi_variant: str = "tiled3",
+    roi_packed=None,
     matmul_precision=None,
 ):
     """Data-parallel batched live-forward for serving sweeps — the full
@@ -100,6 +102,7 @@ def make_sharded_infer_fn(
         return model.live_forward(
             params, scfg_model, X, lengths, roi, compute_dtype=compute_dtype,
             roi_impl=roi_impl, gru_impl=gru_impl,
+            roi_variant=roi_variant, roi_packed=roi_packed,
             matmul_precision=matmul_precision,
         )
 

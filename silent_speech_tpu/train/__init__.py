@@ -4,6 +4,7 @@ from .loop import train
 from .step import (
     StepConfig,
     make_eval_step,
+    make_multi_train_step,
     make_optimizer,
     make_train_step,
     smoothed_cross_entropy,
@@ -17,6 +18,7 @@ __all__ = [
     "train_ctc",
     "StepConfig",
     "make_eval_step",
+    "make_multi_train_step",
     "make_optimizer",
     "make_train_step",
     "smoothed_cross_entropy",

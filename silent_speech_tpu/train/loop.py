@@ -143,6 +143,7 @@ def train(
                   f"(best val acc so far {resumed_best_acc:.3f})")
 
     mesh = None
+    multi_step = None  # set on the device-dataset path when steps_per_dispatch != 1
     if cfg.mesh_shape:
         from ..parallel import make_sharded_train_step
         from ..parallel.mesh import mesh_from_shape
@@ -192,6 +193,10 @@ def train(
                 None if roi_all is None else jnp.asarray(roi_all[i]),
                 jnp.asarray(y_all[i]),
             )
+    elif cfg.steps_per_dispatch != 1:
+        from .step import make_multi_train_step
+
+        multi_step = make_multi_train_step(scfg, optimizer)
     else:
         train_step = make_train_step(scfg, optimizer)
     eval_step = make_eval_step(scfg)
@@ -219,18 +224,42 @@ def train(
         prof_ctx.__enter__()
         tr_loss = tr_acc = tr_n = 0.0
         try:
-            for idx in epoch_batches(
-                train_ds.n, cfg.batch_size, sampler_rng, weights=weights
-            ):
-                params, opt_state, step_rng, m = train_step(
-                    params, opt_state, step_rng,
-                    train_ds.X, train_ds.lengths, train_ds.roi, train_ds.y,
-                    jnp.asarray(idx),
-                )
-                b = len(idx)
-                tr_loss += float(m["loss"]) * b
-                tr_acc += float(m["acc"]) * b
-                tr_n += b
+            if multi_step is not None:
+                # scan K train steps per dispatch (K=0 -> the whole epoch):
+                # every training batch is exactly batch_size (pad=True), so
+                # the epoch's indices stack to (S, B) and metrics come back
+                # as (S,) arrays — one host sync per chunk instead of per
+                # step. Same trajectory as the per-step path (same rng
+                # sequence; tests/test_train.py pins it).
+                batches = list(epoch_batches(
+                    train_ds.n, cfg.batch_size, sampler_rng, weights=weights
+                ))
+                k = (len(batches) if cfg.steps_per_dispatch == 0
+                     else cfg.steps_per_dispatch)
+                for s in range(0, len(batches), k):
+                    idx_mat = jnp.asarray(np.stack(batches[s:s + k]))
+                    params, opt_state, step_rng, ms = multi_step(
+                        params, opt_state, step_rng,
+                        train_ds.X, train_ds.lengths, train_ds.roi,
+                        train_ds.y, idx_mat,
+                    )
+                    n_s = idx_mat.shape[0] * cfg.batch_size
+                    tr_loss += float(jnp.sum(ms["loss"])) * cfg.batch_size
+                    tr_acc += float(jnp.sum(ms["acc"])) * cfg.batch_size
+                    tr_n += n_s
+            else:
+                for idx in epoch_batches(
+                    train_ds.n, cfg.batch_size, sampler_rng, weights=weights
+                ):
+                    params, opt_state, step_rng, m = train_step(
+                        params, opt_state, step_rng,
+                        train_ds.X, train_ds.lengths, train_ds.roi,
+                        train_ds.y, jnp.asarray(idx),
+                    )
+                    b = len(idx)
+                    tr_loss += float(m["loss"]) * b
+                    tr_acc += float(m["acc"]) * b
+                    tr_n += b
         finally:
             # a mid-epoch failure must still stop the profiler trace, or a
             # retry in the same process dies with 'profiler already started'

@@ -119,6 +119,51 @@ def make_train_step(scfg: StepConfig, optimizer):
     return step
 
 
+def make_multi_train_step(scfg: StepConfig, optimizer):
+    """Returns jitted multi(params, opt_state, rng, data_arrays, idx_mat) —
+    ``idx_mat`` is (S, B) batch indices and the program runs S full train
+    steps as one ``lax.scan`` dispatch, returning stacked (S,) metrics.
+
+    The scan body is make_train_step's body verbatim (same rng split
+    sequence, same gather/augment/update), so S scanned steps follow the
+    SAME training trajectory as S sequential dispatches with the same
+    starting rng — pinned by tests/test_train.py. The point is dispatch
+    amortization: the per-step loop pays a host round trip per step to
+    fetch metrics (float(m['loss'])), which dominates wall time at the
+    reference protocol's B=16 where the step itself is ~3 ms — and is
+    catastrophic on remote-dispatch backends. One dispatch per epoch makes
+    the host cost O(1); the compiled program is the step body compiled
+    once (scan), so compile time does not scale with S.
+    """
+    dtype = jnp.bfloat16 if scfg.compute_dtype == "bfloat16" else jnp.float32
+    loss_fn = _make_loss_fn(scfg, dtype)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def multi(params, opt_state, rng, X_all, len_all, roi_all, y_all,
+              idx_mat):
+        def body(carry, idx):
+            params, opt_state, rng = carry
+            X = jnp.take(X_all, idx, axis=0)
+            lengths = jnp.take(len_all, idx, axis=0)
+            roi = None if roi_all is None else jnp.take(roi_all, idx, axis=0)
+            y = jnp.take(y_all, idx, axis=0)
+            rng, aug_rng, drop_rng = jax.random.split(rng, 3)
+            if scfg.augment is not None:
+                X, lengths = augment_batch(aug_rng, X, lengths, scfg.augment)
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, X, lengths, roi, y, drop_rng
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), {"loss": loss, "acc": acc}
+
+        (params, opt_state, rng), ms = jax.lax.scan(
+            body, (params, opt_state, rng), idx_mat)
+        return params, opt_state, rng, ms
+
+    return multi
+
+
 def make_batch_train_step(scfg: StepConfig, optimizer):
     """Returns jitted step(params, opt_state, rng, X, lengths, roi, y) on
     pre-gathered batches — the host-resident-dataset path (only the batch

@@ -90,6 +90,34 @@ def test_fused2_traceable_pack_matches_numpy_pack():
                                       err_msg=k)
 
 
+def test_fused2_variant_scoped_pack(rng):
+    """pack_roi_cnn_fused(variant=...) builds only the matrices that
+    variant's kernel reads (a fixed-variant Predictor shouldn't keep the
+    ~6 MB full-width w2/w3 resident) and runs bitwise-identical to the
+    pack-everything dict."""
+    params = init_roi_cnn(jax.random.PRNGKey(7))
+    full = pack_roi_cnn_fused(params)
+    roi = jnp.asarray(rng.integers(0, 256, (12, 48, 96), dtype=np.uint8))
+    expect = {
+        "wide": {"w2", "w3", "b3"},
+        "tiled": {"w2t", "w3", "b3"},
+        "tiled3": {"w2t", "w3t", "b3t"},
+        "stacked": {"w2t", "w3t", "b3t"},
+    }
+    always = {"w1e", "w1o", "b1", "b2", "fc_w", "fc_b"}
+    for variant, extra in expect.items():
+        scoped = pack_roi_cnn_fused(params, variant=variant)
+        assert set(scoped) == always | extra, variant
+        for k in scoped:
+            np.testing.assert_array_equal(np.asarray(scoped[k]),
+                                          np.asarray(full[k]), err_msg=k)
+        a = np.asarray(roi_cnn_fused(roi, full, interpret=True,
+                                     variant=variant))
+        b = np.asarray(roi_cnn_fused(roi, scoped, interpret=True,
+                                     variant=variant))
+        np.testing.assert_array_equal(a, b, err_msg=variant)
+
+
 def test_fused2_forward_roi_impl(rng):
     """roi_impl='fused' through the full live forward (packs under jit)
     matches the default path."""

@@ -142,6 +142,39 @@ def test_predictor_shard_matches_unsharded(cpu_mesh_devices, rng):
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_predictor_shard_keeps_serving_knobs(cpu_mesh_devices, rng,
+                                             monkeypatch):
+    """Predictor.shard must forward the FULL serving-knob surface —
+    roi_variant and the pre-packed weights used to be dropped at the
+    shard() boundary, silently serving tiled3 regardless of config."""
+    from silent_speech_tpu.infer.predictor import Predictor
+    from silent_speech_tpu.parallel import train_sharded
+
+    mcfg, params = _setup()
+    i2l = {i: w for i, w in enumerate(["a", "b", "c", "d", "e"])}
+    p = Predictor(params=params, cfg=mcfg, id_to_label=i2l, max_t=12,
+                  roi_impl="fused", roi_variant="wide")
+    seen = {}
+    orig = train_sharded.make_sharded_infer_fn
+
+    def spy(*a, **kw):
+        seen.update(kw)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(train_sharded, "make_sharded_infer_fn", spy)
+    p.shard(make_mesh(cpu_mesh_devices, data=4, model=2))
+    assert seen["roi_variant"] == "wide"
+    assert seen["roi_impl"] == "fused"
+    assert seen["roi_packed"] is p._roi_packed and p._roi_packed is not None
+
+    # and the sharded wide-variant forward executes + matches unsharded
+    p_ref = Predictor(params=params, cfg=mcfg, id_to_label=i2l, max_t=12,
+                      roi_impl="fused", roi_variant="wide")
+    X, lengths, roi, _y = _batch(rng, 4)
+    np.testing.assert_allclose(p_ref.predict_batch(X, lengths, roi),
+                               p.predict_batch(X, lengths, roi), atol=1e-5)
+
+
 def test_train_loop_with_mesh(tmp_path, cpu_mesh_devices):
     """TrainConfig.mesh_shape drives the full official loop through the
     sharded DP step on the virtual mesh."""

@@ -180,6 +180,83 @@ def test_multi_step_training_parity():
     assert perr <= 5e-4, f"4-step param drift {perr:.2e} vs torch"
 
 
+def test_multi_step_scan_matches_sequential_steps():
+    """make_multi_train_step (K steps in one lax.scan dispatch) must follow
+    the SAME training trajectory as K sequential make_train_step dispatches
+    from the same starting rng — the scan body is the step body verbatim,
+    so only XLA fusion/reassociation differences are allowed."""
+    from silent_speech_tpu.data.augment import AugmentConfig
+    from silent_speech_tpu.train.step import (
+        StepConfig, make_multi_train_step, make_train_step)
+
+    mcfg = model.BiGRUConfig(x_dim=12, num_classes=4, use_roi=True, hidden=8,
+                             roi_emb=4, head_hidden=8)
+    scfg = StepConfig(model=mcfg, augment=AugmentConfig())
+    opt = make_optimizer(1e-3)
+    rng = np.random.default_rng(3)
+    N, T, S, B = 20, 14, 5, 6
+    X_all = jnp.asarray(rng.standard_normal((N, T, 12)).astype(np.float32))
+    len_all = jnp.asarray(rng.integers(4, T + 1, N).astype(np.int32))
+    roi_all = jnp.asarray(rng.integers(0, 256, (N, T, 48, 96), dtype=np.uint8))
+    y_all = jnp.asarray(rng.integers(0, 4, N).astype(np.int32))
+    idx_mat = jnp.asarray(rng.integers(0, N, (S, B)).astype(np.int32))
+
+    key = jax.random.PRNGKey(17)
+    params0 = model.init_params(jax.random.PRNGKey(0), mcfg)
+    p_seq = jax.tree.map(jnp.copy, params0)
+    os_seq = opt.init(p_seq)
+    step = make_train_step(scfg, opt)
+    k_seq = key
+    losses = []
+    for s in range(S):
+        p_seq, os_seq, k_seq, m = step(
+            p_seq, os_seq, k_seq, X_all, len_all, roi_all, y_all, idx_mat[s])
+        losses.append(float(m["loss"]))
+
+    p_m = jax.tree.map(jnp.copy, params0)
+    os_m = opt.init(p_m)
+    multi = make_multi_train_step(scfg, opt)
+    p_m, os_m, _, ms = multi(
+        p_m, os_m, key, X_all, len_all, roi_all, y_all, idx_mat)
+    np.testing.assert_allclose(np.asarray(ms["loss"]), np.asarray(losses),
+                               atol=1e-5, rtol=1e-5)
+    # param tolerance is Adam-amplified reassociation: the global-norm clip
+    # sums grad squares in a different order under the scan compilation, and
+    # Adam's m/(sqrt(v)+eps) scales that 1e-7-level drift up ~1000x on
+    # near-zero-gradient leaves (same bound as the torch 4-step parity test)
+    for a, b in zip(jax.tree.leaves(p_seq), jax.tree.leaves(p_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3)
+
+
+def test_train_steps_per_dispatch_epoch_parity(tmp_path):
+    """The full official loop with steps_per_dispatch=0 (whole epoch in one
+    dispatch) reproduces the per-step loop's training run: same batches
+    (same sampler rng), same trajectory, same history to float tolerance."""
+    corpus = tmp_path / "clips_npz"
+    generate_corpus(str(corpus), clips_per_word=4, words=["yes", "no"],
+                    seed=5)
+    base = dict(clip_dir=str(corpus), epochs=2, patience=5, batch_size=4,
+                max_t=40, lr=1e-3)
+    r1 = train(TrainConfig(out_path=str(tmp_path / "a.ckpt"), **base),
+               verbose=False)
+    r0 = train(TrainConfig(out_path=str(tmp_path / "b.ckpt"),
+                           steps_per_dispatch=0, **base), verbose=False)
+    for h1, h0 in zip(r1["history"], r0["history"]):
+        np.testing.assert_allclose(h0["train_loss"], h1["train_loss"],
+                                   atol=2e-4)
+        np.testing.assert_allclose(h0["val_loss"], h1["val_loss"], atol=2e-4)
+    for a, b in zip(jax.tree.leaves(r1["params"]),
+                    jax.tree.leaves(r0["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+    # chunked mode (K=2) takes the same path
+    r2 = train(TrainConfig(out_path=str(tmp_path / "c.ckpt"),
+                           steps_per_dispatch=2, **base), verbose=False)
+    np.testing.assert_allclose(r2["history"][0]["train_loss"],
+                               r1["history"][0]["train_loss"], atol=2e-4)
+
+
 def test_train_overfits_synthetic_corpus(tmp_path):
     corpus = tmp_path / "clips_npz"
     generate_corpus(str(corpus), clips_per_word=6,
