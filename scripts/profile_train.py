@@ -39,7 +39,7 @@ B, T = 256, 32
 ITERS = 20
 
 
-def build(dtype):
+def build(dtype, roi_impl="xla"):
     mcfg = model.BiGRUConfig(x_dim=180, num_classes=10, use_roi=True)
     params = model.init_params(jax.random.PRNGKey(0), mcfg)
     opt = make_optimizer(3e-4)
@@ -52,7 +52,7 @@ def build(dtype):
 
     def loss_fn(p, Xb, Lb, Rb, yb, key):
         logits = model.train_forward(p, mcfg, Xb, Lb, Rb, train=True, rng=key,
-                                     compute_dtype=dtype)
+                                     compute_dtype=dtype, roi_impl=roi_impl)
         return smoothed_cross_entropy(logits, yb, 10, 0.05)
 
     @partial(jax.jit, static_argnames=("n",))
@@ -128,18 +128,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default="/tmp/train_trace")
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--roi-impl", default="xla",
+                    choices=["xla", "grouped", "fused"])
     ap.add_argument("--iters", type=int, default=ITERS)
     args = ap.parse_args()
     dtype = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
 
-    run, state = build(dtype)
+    run, state = build(dtype, args.roi_impl)
     float(run(*state, 2))
     float(run(*state, args.iters))
     t0 = time.perf_counter()
     float(run(*state, args.iters))
     dt = (time.perf_counter() - t0) / args.iters
-    print(f"train step B={B} {args.dtype}: {dt*1e3:.3f} ms/step "
-          f"({B/dt:.0f} clips/s)", flush=True)
+    print(f"train step B={B} {args.dtype} roi={args.roi_impl}: "
+          f"{dt*1e3:.3f} ms/step ({B/dt:.0f} clips/s)", flush=True)
 
     if args.trace:
         os.makedirs(args.trace, exist_ok=True)

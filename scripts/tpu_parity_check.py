@@ -99,6 +99,49 @@ def main():
                         "argmax_agreement": agree}
             print(f"{tag:>22s}: max|dlogits|={err:.2e} argmax={agree:.3f}",
                   flush=True)
+
+        # --- CTC family (round-5 flagship treatment): per-frame log-probs
+        # vs the torch BiGRUCTCWithROI (inactive/train_model.py:141-164) on
+        # valid frames; the serving default row is fused/pallas/f32/parity
+        from silent_speech_tpu.core.torch_import import import_bigru_ctc
+        from silent_speech_tpu.models import ctc_model
+        from tests.test_variants import _TorchCTC
+
+        torch.manual_seed(5)
+        tctc = _TorchCTC(180).eval()
+        Bc, Tc = 8, 40
+        rngc = np.random.default_rng(11)
+        Xc = rngc.standard_normal((Bc, Tc, 180)).astype(np.float32)
+        Rc = rngc.integers(0, 256, (Bc, Tc, 48, 96), dtype=np.uint8)
+        Lc = np.linspace(6, Tc, Bc).astype(np.int64)
+        with torch.no_grad():
+            ctc_ref = tctc(
+                torch.from_numpy(Xc),
+                (torch.from_numpy(Rc).float() / 255.0).unsqueeze(2),
+                torch.from_numpy(Lc)).numpy()
+        cparams = jax.tree.map(jnp.asarray, import_bigru_ctc(tctc.state_dict()))
+        valid = np.arange(Tc)[None, :] < Lc[:, None]
+        for roi_impl, gru_impl, dtype, prec, tag in (
+            ("xla", "scan", jnp.float32, None, "ctc:xla/scan/f32"),
+            ("xla", "scan", jnp.float32, "parity", "ctc:xla/scan/f32/parity"),
+            ("fused", "scan", jnp.float32, "parity",
+             "ctc:fused/scan/f32/parity"),
+            # THE CTC serving default (CTCDecoder 'auto' on TPU)
+            ("fused", "pallas", jnp.float32, "parity",
+             "ctc:fused/pallas/f32/parity"),
+            ("fused", "pallas", jnp.bfloat16, None, "ctc:fused/pallas/bf16"),
+        ):
+            lp = np.asarray(ctc_model.forward(
+                cparams, jnp.asarray(Xc), jnp.asarray(Rc),
+                jnp.asarray(Lc.astype(np.int32)), compute_dtype=dtype,
+                roi_impl=roi_impl, gru_impl=gru_impl, matmul_precision=prec))
+            err = float(np.max(np.abs(lp - ctc_ref)[valid]))
+            agree = float(np.mean(
+                (lp.argmax(-1) == ctc_ref.argmax(-1))[valid]))
+            out[tag] = {"max_logit_err": round(err, 6),
+                        "argmax_agreement": agree}
+            print(f"{tag:>28s}: max|dlp|={err:.2e} argmax={agree:.3f}",
+                  flush=True)
         print(json.dumps(out))
 
 

@@ -354,15 +354,31 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
                     top = pred.predict_clip(c, k=k)
                 print(f"{p}: {top}")
     elif cmd == "eval-ctc":
+        from ..core.config import _parse_dict_override
         from ..infer.evaluator import evaluate_ctc_dataset
-        extras = _extras(kv, "ckpt_path", "clip_dir", "chunk_words")
+        extras = _extras(kv, "ckpt_path", "clip_dir", "chunk_words",
+                         "batch_size", "mesh_shape", "compute_dtype",
+                         "roi_impl", "roi_variant", "gru_impl",
+                         "matmul_precision")
         if "ckpt_path" not in extras:
             print("usage: eval-ctc ckpt_path=<path> [clip_dir=clips_npz] "
-                  "[chunk_words=N]")
+                  "[chunk_words=N] [batch_size=64] [mesh_shape=data:N] "
+                  "[serving knobs: compute_dtype= roi_impl= roi_variant= "
+                  "gru_impl= matmul_precision=]")
             return 2
-        evaluate_ctc_dataset(extras["ckpt_path"],
-                             extras.get("clip_dir", "clips_npz"),
-                             chunk_words=int(extras.get("chunk_words", 0)))
+        evaluate_ctc_dataset(
+            extras["ckpt_path"],
+            extras.get("clip_dir", "clips_npz"),
+            chunk_words=int(extras.get("chunk_words", 0)),
+            batch_size=int(extras.get("batch_size", 64)),
+            mesh_shape=(_parse_dict_override(extras["mesh_shape"])
+                        if "mesh_shape" in extras else None),
+            compute_dtype=extras.get("compute_dtype", "float32"),
+            roi_impl=extras.get("roi_impl", "auto"),
+            roi_variant=extras.get("roi_variant", "tiled3"),
+            gru_impl=extras.get("gru_impl", "auto"),
+            matmul_precision=extras.get("matmul_precision", ""),
+        )
     elif cmd == "landmarks-view":
         from .landmarks_view import main as run
         extras = _extras(kv, "cam_index", "label_every")
@@ -380,16 +396,24 @@ def _dispatch_cmd(cmd, kv, flags) -> int:
     elif cmd == "infer-ctc":
         from .live import infer_ctc
         extras = _extras(kv, "ckpt_path", "cam_index", "chunk_words",
-                         "predict_async")
+                         "predict_async", "compute_dtype", "roi_impl",
+                         "roi_variant", "gru_impl", "matmul_precision")
         if "ckpt_path" not in extras:
             print("usage: infer-ctc ckpt_path=<path> [cam_index=N] "
-                  "[chunk_words=N] [predict_async=true]")
+                  "[chunk_words=N] [predict_async=true] [serving knobs: "
+                  "compute_dtype= roi_impl= roi_variant= gru_impl= "
+                  "matmul_precision=]")
             return 2
         infer_ctc(extras["ckpt_path"],
                   cam_index=int(extras.get("cam_index", 0)),
                   chunk_words=int(extras.get("chunk_words", 0)),
                   predict_async=_parse_bool(
                       "predict_async", extras.get("predict_async", "false")),
+                  compute_dtype=extras.get("compute_dtype", "float32"),
+                  roi_impl=extras.get("roi_impl", "auto"),
+                  roi_variant=extras.get("roi_variant", "tiled3"),
+                  gru_impl=extras.get("gru_impl", "auto"),
+                  matmul_precision=extras.get("matmul_precision", ""),
                   **mp)
     elif cmd == "export-torch":
         extras = _extras(kv, "ckpt_path", "out_path")

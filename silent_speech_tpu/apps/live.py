@@ -1040,12 +1040,16 @@ def _print_ctc_prediction(ranked):
 
 def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",
               cam_index: int = 0, chunk_words: int = 0,
-              predict_async: bool = False):
+              predict_async: bool = False, compute_dtype: str = "float32",
+              roi_impl: str = "auto", roi_variant: str = "tiled3",
+              gru_impl: str = "auto", matmul_precision: str = ""):
     """CTC dictionary-scored live inference
     (inactive/facial_landmark_detection.py semantics): manual-toggle clips,
     silence-trimmed, every dictionary word scored in one vmapped sweep.
     ``predict_async`` keeps the camera live during the (first-compile-slow)
-    dictionary sweep instead of freezing like the reference."""
+    dictionary sweep instead of freezing like the reference. The serving
+    knobs route the CTC forward to the fused Pallas CNN + pallas GRU on TPU
+    by default (CTCDecoder 'auto' resolution)."""
     import cv2
     import jax
 
@@ -1058,9 +1062,19 @@ def infer_ctc(ckpt_path: str, model_path: str = "models/face_landmarker.task",
     max_t = int(meta["max_t"])
     len_lambda = float(meta.get("len_lambda", 0.02))
     exp_len = int(meta.get("exp_len", 5))
+    knob_kw = {}
+    if matmul_precision:
+        knob_kw["matmul_precision"] = (
+            None if matmul_precision in ("default", "none")
+            else matmul_precision
+        )
     dec = CTCDecoder(
         params, dictionary, max_t=max_t, len_lambda=len_lambda,
         len_per_char=exp_len, chunk_words=chunk_words,
+        compute_dtype=compute_dtype, roi_impl=roi_impl,
+        roi_variant=roi_variant, gru_impl=gru_impl,
+        roi_h=int(meta.get("roi_h", 48)), roi_w=int(meta.get("roi_w", 96)),
+        **knob_kw,
     )
     # reference startup lines (facial_landmark_detection.py:290-291)
     print("Loaded ROI+CTC model. max_t =", max_t, "len_lambda =", len_lambda)

@@ -161,6 +161,15 @@ class CTCTrainConfig:
     trim_open_idx: int = -3
     trim_thresh: float = 0.05
     trim_pad: int = 2
+    # TPU-specific knobs (no reference counterpart)
+    compute_dtype: str = "float32"  # "bfloat16" for throughput
+    # 'auto' = the fused custom-VJP Pallas CNN pair on TPU at >=4096
+    # frames/step (train/step.resolve_roi_impl — the CTC default
+    # batch_size*max_t = 2560 stays 'xla'; raise batch_size to cross), else
+    # 'xla'; also accepts explicit 'xla' | 'grouped' | 'fused'. The
+    # per-epoch validation sweep always uses the serving defaults (fused
+    # CNN + pallas GRU + parity precision on TPU).
+    roi_impl: str = "auto"
 
 
 @dataclasses.dataclass

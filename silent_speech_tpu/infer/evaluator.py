@@ -12,6 +12,8 @@ motivate a TPU never has to fit in host RAM at once.
 from __future__ import annotations
 
 from collections import Counter
+from typing import Optional
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -190,40 +192,93 @@ def evaluate_ctc_dataset(
     *,
     verbose: bool = True,
     chunk_words: int = 0,
+    batch_size: int = 64,
+    mesh_shape: Optional[dict] = None,
+    compute_dtype: str = "float32",
+    roi_impl: str = "auto",
+    roi_variant: str = "tiled3",
+    gru_impl: str = "auto",
+    matmul_precision: str = "",
 ) -> dict:
     """Dictionary-scored CTC sweep over a corpus: accuracy + top confusions.
 
     The offline counterpart of the CTC trainer's validation loop
     (inactive/train_model.py:235-251), usable on any saved CTC checkpoint.
+    Clips sweep in batches of ``batch_size`` (one forward + one vmapped
+    lattice chunk per dictionary chunk — the reference runs one clip at a
+    time); serving knobs mirror evaluate_dataset's, and
+    ``mesh_shape={'data': N}`` shards the batches over a device mesh
+    (CTCDecoder.shard; ragged tails pad and slice back).
     """
     import jax
 
     from ..models import ctc_model
     from ..train.checkpoint import load_checkpoint
-    from .ctc_decode import CTCDecoder, Dictionary
+    from .ctc_decode import CTCDecoder, Dictionary, trim_silence
 
     params, meta, _ = load_checkpoint(ckpt_path)
     params = jax.tree.map(jnp.asarray, params)
     uniq = list(meta["uniq_labels"])
+    kw = {}
+    if matmul_precision:
+        kw["matmul_precision"] = (
+            None if matmul_precision in ("default", "none")
+            else matmul_precision
+        )
     dec = CTCDecoder(
         params, Dictionary.from_words(uniq), max_t=int(meta["max_t"]),
         len_lambda=float(meta.get("len_lambda", 0.02)),
         len_per_char=int(meta.get("exp_len", 5)),
         chunk_words=chunk_words,
+        compute_dtype=compute_dtype, roi_impl=roi_impl,
+        roi_variant=roi_variant, gru_impl=gru_impl,
+        roi_h=int(meta.get("roi_h", 48)), roi_w=int(meta.get("roi_w", 96)),
+        **kw,
     )
+    if mesh_shape:
+        from ..parallel.mesh import mesh_from_shape
+
+        dec.shard(mesh_from_shape(mesh_shape))
+        if verbose:
+            print("Sharded CTC sweep on mesh", dict(mesh_shape))
+
     index = scan_corpus(clip_dir, verbose=False)
     correct = total = 0
     cm: Counter = Counter()
+    batch: list = []
+
+    def _flush():
+        nonlocal correct, total
+        if not batch:
+            return
+        Xb = np.stack([b[0] for b in batch])
+        Rb = np.stack([b[1] for b in batch])
+        Lb = np.asarray([b[2] for b in batch], np.int32)
+        scores = dec.score_batch(Xb, Rb, Lb)
+        for (_, _, _, true), pred_i in zip(batch, scores.argmax(-1)):
+            pred_n = ctc_model.normalize_label(dec.dict.words[int(pred_i)])
+            cm[(true, pred_n)] += 1
+            correct += int(pred_n == true)
+            total += 1
+        batch.clear()
+
     for f in index.files:
         c = load_clip(f).aligned()
         if c.roi is None:
             continue
-        pred = dec.predict(c.X, c.roi)
-        true = ctc_model.normalize_label(c.label)
-        pred_n = ctc_model.normalize_label(pred or "")
-        cm[(true, pred_n)] += 1
-        correct += int(pred_n == true)
-        total += 1
+        X, R = trim_silence(np.asarray(c.X, np.float32), np.asarray(c.roi),
+                            **dec.trim_kw)
+        T = min(len(X), dec.max_t)
+        if T == 0:
+            continue
+        Xp = np.zeros((dec.max_t, X.shape[1]), np.float32)
+        Xp[:T] = X[:T]
+        Rp = np.zeros((dec.max_t,) + R.shape[1:], np.uint8)
+        Rp[:T] = R[:T]
+        batch.append((Xp, Rp, T, ctc_model.normalize_label(c.label)))
+        if len(batch) >= batch_size:
+            _flush()
+    _flush()
     acc = correct / total if total else 0.0
     if verbose:
         print("dataset acc:", acc)

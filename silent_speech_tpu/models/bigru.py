@@ -157,6 +157,16 @@ def init_params(key, cfg: BiGRUConfig, dtype=jnp.float32) -> dict:
     return params
 
 
+def standardize_frames(r: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame mean/std standardization over the trailing (H, W) axes
+    (train_model_official.py:286-291; torch-std ddof=1)."""
+    n = r.shape[-1] * r.shape[-2]
+    mu = jnp.mean(r, axis=(-1, -2), keepdims=True)
+    var = jnp.sum(jnp.square(r - mu), axis=(-1, -2), keepdims=True) / (n - 1)
+    std = jnp.maximum(jnp.sqrt(var), 1e-6)
+    return (r - mu) / std
+
+
 def preprocess_roi(roi_u8: jnp.ndarray, standardize: bool) -> jnp.ndarray:
     """uint8 (B, T, H, W) -> float, /255 and optionally per-frame standardized.
 
@@ -165,13 +175,104 @@ def preprocess_roi(roi_u8: jnp.ndarray, standardize: bool) -> jnp.ndarray:
     ``standardize=False`` is the live path (live_infer_official.py:126).
     """
     r = roi_u8.astype(jnp.float32) / 255.0
-    if not standardize:
-        return r
-    n = r.shape[-1] * r.shape[-2]
-    mu = jnp.mean(r, axis=(-1, -2), keepdims=True)
-    var = jnp.sum(jnp.square(r - mu), axis=(-1, -2), keepdims=True) / (n - 1)
-    std = jnp.maximum(jnp.sqrt(var), 1e-6)
-    return (r - mu) / std
+    return standardize_frames(r) if standardize else r
+
+
+def roi_embedding(
+    p_roi: dict,
+    roi: jnp.ndarray,
+    *,
+    standardize: bool,
+    train: bool = False,
+    roi_impl: str = "xla",
+    roi_packed: Optional[dict] = None,
+    roi_variant: str = "tiled3",
+    roi_f_tile: Optional[int] = None,
+    compute_dtype=jnp.float32,
+    roi_remat: bool = False,
+) -> jnp.ndarray:
+    """TinyROICNN embedding with the full impl-dispatch surface.
+
+    The single routing point shared by the official forward and the CTC
+    model (inactive/train_model.py:141-150 embeds its ROI with the same
+    TinyROICNN): ``roi_impl`` selects 'xla' (plain convs), 'grouped'
+    (frames packed into conv channel groups), 'pallas' (conv1+pool1 kernel,
+    inference-only) or 'fused' (the parity-packed single-program kernel,
+    ops/pallas_cnn2.py; with ``train=True`` the custom-VJP pair,
+    ops/pallas_cnn2_grad.py).
+
+    ``roi``: (B, T, H, W) **uint8** frames (preferred — the Pallas impls
+    normalize in-kernel and their HBM win is exactly shipping u8), or float
+    frames already /255 (the CTC collate contract,
+    inactive/train_model.py:109) — float input is xla/grouped-only.
+    Returns (B, T, emb) in ``compute_dtype``.
+    """
+    if roi_impl not in ("xla", "grouped", "pallas", "fused"):
+        raise ValueError(f"unknown roi_impl {roi_impl!r} "
+                         "(expected 'xla', 'grouped', 'pallas', or 'fused')")
+    is_u8 = roi.dtype == jnp.uint8
+    if not is_u8 and roi_impl in ("pallas", "fused"):
+        raise ValueError(
+            f"roi_impl={roi_impl!r} needs raw uint8 frames (it normalizes "
+            "in-kernel); got float input — pass the u8 ROI or use "
+            "'xla'/'grouped'")
+    B, T = roi.shape[:2]
+    if roi_impl == "fused" and train:
+        # differentiable fused CNN: recompute-in-VMEM backward emitting
+        # weight grads only — bypasses the activation-HBM roofline that
+        # binds the XLA train step (docs/TRAIN_PERF.md)
+        from ..ops.pallas_cnn2_grad import roi_cnn_fused_train
+
+        fused_kw = {} if roi_f_tile is None else {"f_tile": roi_f_tile}
+        return roi_cnn_fused_train(
+            roi.reshape(B * T, *roi.shape[2:]), p_roi,
+            standardize=standardize, **fused_kw,
+        ).reshape(B, T, -1).astype(compute_dtype)
+    if roi_impl == "fused":
+        from ..ops.pallas_cnn2 import (
+            pack_roi_cnn_fused_traceable, roi_cnn_fused)
+
+        if roi_packed is None:
+            roi_packed = pack_roi_cnn_fused_traceable(p_roi)
+        fused_kw = {} if roi_f_tile is None else {"f_tile": roi_f_tile}
+        return roi_cnn_fused(
+            roi.reshape(B * T, *roi.shape[2:]), roi_packed,
+            standardize=standardize,
+            compute_dtype=jnp.dtype(compute_dtype),
+            variant=roi_variant, **fused_kw,
+        ).reshape(B, T, -1).astype(compute_dtype)
+    if roi_impl == "pallas" and not train:
+        from ..ops.pallas_cnn import pack_roi_cnn_params, roi_cnn_pallas
+
+        if roi_packed is None:
+            roi_packed = pack_roi_cnn_params(p_roi)
+        return roi_cnn_pallas(
+            roi.reshape(B * T, *roi.shape[2:]), roi_packed,
+            standardize=standardize,
+        ).reshape(B, T, -1).astype(compute_dtype)
+
+    def _embed(p_roi, roi_in):
+        if roi_in.dtype == jnp.uint8:
+            r = preprocess_roi(roi_in, standardize)
+        else:
+            r = roi_in.astype(jnp.float32)
+            if standardize:
+                r = standardize_frames(r)
+        r = r.astype(compute_dtype)
+        if roi_impl == "grouped":
+            from ..ops.grouped_cnn import roi_cnn_grouped
+
+            return roi_cnn_grouped(
+                p_roi, r.reshape(B * T, *r.shape[2:])
+            ).reshape(B, T, -1).astype(compute_dtype)
+        return roi_cnn_forward(p_roi, r)
+
+    if roi_remat and train:
+        # recompute the ROI-CNN activations in the backward instead of
+        # storing them: the train step is bound by activation HBM traffic,
+        # not MXU time (docs/TRAIN_PERF.md) — only the input is saved
+        _embed = jax.checkpoint(_embed)
+    return _embed(p_roi, roi)
 
 
 def forward(
@@ -246,65 +347,12 @@ def forward(
         if roi is None:
             raise ValueError("model was built with use_roi=True but got roi=None")
         with _prec_scope(site_prec.get("roi")):
-            if roi_impl == "fused" and train:
-                # differentiable fused CNN: recompute-in-VMEM backward
-                # emitting weight grads only — bypasses the activation-HBM
-                # roofline that binds the XLA train step (docs/TRAIN_PERF.md)
-                from ..ops.pallas_cnn2_grad import roi_cnn_fused_train
-
-                B, T = roi.shape[:2]
-                fused_kw = {} if roi_f_tile is None else {
-                    "f_tile": roi_f_tile}
-                roi_e = roi_cnn_fused_train(
-                    roi.reshape(B * T, *roi.shape[2:]), params["roi_cnn"],
-                    standardize=roi_standardize, **fused_kw,
-                ).reshape(B, T, -1).astype(compute_dtype)
-            elif roi_impl == "fused":
-                from ..ops.pallas_cnn2 import (
-                    pack_roi_cnn_fused_traceable, roi_cnn_fused)
-
-                if roi_packed is None:
-                    roi_packed = pack_roi_cnn_fused_traceable(
-                        params["roi_cnn"])
-                B, T = roi.shape[:2]
-                fused_kw = {} if roi_f_tile is None else {
-                    "f_tile": roi_f_tile}
-                roi_e = roi_cnn_fused(
-                    roi.reshape(B * T, *roi.shape[2:]), roi_packed,
-                    standardize=roi_standardize,
-                    compute_dtype=jnp.dtype(compute_dtype),
-                    variant=roi_variant, **fused_kw,
-                ).reshape(B, T, -1).astype(compute_dtype)
-            elif roi_impl == "pallas" and not train:
-                from ..ops.pallas_cnn import pack_roi_cnn_params, roi_cnn_pallas
-
-                if roi_packed is None:
-                    roi_packed = pack_roi_cnn_params(params["roi_cnn"])
-                B, T = roi.shape[:2]
-                roi_e = roi_cnn_pallas(
-                    roi.reshape(B * T, *roi.shape[2:]), roi_packed,
-                    standardize=roi_standardize,
-                ).reshape(B, T, -1).astype(compute_dtype)
-            else:
-                def _embed(p_roi, roi_u8):
-                    r = preprocess_roi(roi_u8, roi_standardize)
-                    r = r.astype(compute_dtype)
-                    if roi_impl == "grouped":
-                        from ..ops.grouped_cnn import roi_cnn_grouped
-
-                        B, T = roi_u8.shape[:2]
-                        return roi_cnn_grouped(
-                            p_roi, r.reshape(B * T, *r.shape[2:])
-                        ).reshape(B, T, -1).astype(compute_dtype)
-                    return roi_cnn_forward(p_roi, r)
-
-                if roi_remat and train:
-                    # recompute the ROI-CNN activations in the backward
-                    # instead of storing them: the train step is bound by
-                    # activation HBM traffic, not MXU time
-                    # (docs/TRAIN_PERF.md) — only the uint8 input is saved
-                    _embed = jax.checkpoint(_embed)
-                roi_e = _embed(params["roi_cnn"], roi)
+            roi_e = roi_embedding(
+                params["roi_cnn"], roi, standardize=roi_standardize,
+                train=train, roi_impl=roi_impl, roi_packed=roi_packed,
+                roi_variant=roi_variant, roi_f_tile=roi_f_tile,
+                compute_dtype=compute_dtype, roi_remat=roi_remat,
+            )
         Z = jnp.concatenate([X, roi_e], axis=-1)
     else:
         Z = X

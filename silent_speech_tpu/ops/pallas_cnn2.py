@@ -218,6 +218,11 @@ def pack_roi_cnn_fused(params: dict, *, variant: Optional[str] = None) -> dict:
     so a fixed-variant Predictor doesn't keep ~6 MB of dead f32 weights
     resident in HBM."""
     # keys each variant's kernel call actually loads (roi_cnn_fused)
+    if variant not in (None, "wide", "tiled", "tiled3", "stacked", "stacked1"):
+        # fail at pack/Predictor-construction time, not at the first
+        # forward — roi_cnn_fused raises the same set
+        raise ValueError(f"unknown fused-CNN variant {variant!r} (expected "
+                         "'wide', 'tiled', 'tiled3', 'stacked' or 'stacked1')")
     need = {
         None: ("w1e", "w1o", "w2", "w2t", "w3", "w3t"),
         "wide": ("w1e", "w1o", "w2", "w3"),

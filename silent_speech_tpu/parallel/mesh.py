@@ -124,6 +124,13 @@ def replicated() -> P:
     return P()
 
 
+def replicated_specs(params) -> dict:
+    """Fully-replicated PartitionSpec pytree for any param layout — the
+    right call for serving sweeps at the reference's model scale (params fit
+    every chip; only batches shard)."""
+    return jax.tree.map(lambda _: P(), params)
+
+
 def _gru_dir_tp_spec() -> dict:
     """Tensor-parallel GRU direction: gate projections column-sharded on
     'model'. GSPMD inserts the all-gather of the recurrent state that the

@@ -113,3 +113,27 @@ def make_sharded_infer_fn(
         return fwd(params, X, lengths, roi)
 
     return run
+
+
+def make_sharded_ctc_infer_fn(mesh: Mesh, **fwd_kw):
+    """Data-parallel batched CTC log-probs — the CTC counterpart of
+    make_sharded_infer_fn, with the same serving-knob surface
+    (models/ctc_model.forward kwargs). Wired in behind
+    ``eval-ctc mesh_shape=`` via infer.ctc_decode.CTCDecoder.shard."""
+    from ..models import ctc_model
+
+    bspec = batch_spec(mesh)
+    batch_sh = NamedSharding(mesh, bspec)
+
+    @jax.jit
+    def fwd(params, X, roi, lengths):
+        X = jax.lax.with_sharding_constraint(X, batch_sh)
+        return ctc_model.forward(params, X, roi, lengths, **fwd_kw)
+
+    def run(params, X, roi, lengths):
+        X = put_global(X, mesh, bspec)
+        roi = put_global(roi, mesh, bspec)
+        lengths = put_global(lengths, mesh, bspec)
+        return fwd(params, X, roi, lengths)
+
+    return run

@@ -44,8 +44,11 @@ def _load_ctc_arrays(files, label_to_text, cfg: CTCTrainConfig):
         T = min(len(X), cfg.max_t)
         Xp = np.zeros((cfg.max_t, X.shape[1]), np.float32)
         Xp[:T] = X[:T]
-        Rp = np.zeros((cfg.max_t, cfg.roi_h, cfg.roi_w), np.float32)
-        Rp[:T] = R[:T].astype(np.float32) / 255.0
+        # keep the frames uint8: the forward normalizes (/255) on-device —
+        # bitwise the reference collate division (inactive/train_model.py:109)
+        # at 4x less host RAM + transfer, and the fused Pallas CNN's input
+        Rp = np.zeros((cfg.max_t, cfg.roi_h, cfg.roi_w), np.uint8)
+        Rp[:T] = R[:T]
         Xs.append(Xp)
         Rs.append(Rp)
         Ls.append(T)
@@ -109,8 +112,25 @@ def train_ctc(cfg: CTCTrainConfig, verbose: bool = True) -> dict:
     optimizer = make_optimizer(cfg.lr, grad_clip_norm=1e9)  # reference: no clip
     opt_state = optimizer.init(params)
 
+    # resolve roi_impl='auto' with the same measured gate as the official
+    # trainer (train/step.resolve_roi_impl: the fused custom-VJP pair wins
+    # on TPU once the batch amortizes the backward kernel's fixed cost)
+    from types import SimpleNamespace
+
+    from .step import resolve_roi_impl
+
+    roi_impl = resolve_roi_impl(
+        cfg.roi_impl,
+        SimpleNamespace(use_roi=True, roi_h=cfg.roi_h, roi_w=cfg.roi_w),
+        cfg.batch_size * cfg.max_t,
+    )
+    if verbose and roi_impl != cfg.roi_impl:
+        print(f"roi_impl=auto -> {roi_impl}")
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+
     def loss_fn(params, X, R, L, y, ylen, rng):
-        lp = ctc_model.forward(params, X, R, L, train=True, rng=rng)
+        lp = ctc_model.forward(params, X, R, L, train=True, rng=rng,
+                               roi_impl=roi_impl, compute_dtype=compute_dtype)
         return ctc_loss(lp, L, y, ylen)
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -127,9 +147,24 @@ def train_ctc(cfg: CTCTrainConfig, verbose: bool = True) -> dict:
         params = optax.apply_updates(params, updates)
         return params, opt_state, rng, loss
 
+    # the per-epoch validation sweep is a serving workload: route it to the
+    # serving defaults (fused CNN + pallas GRU + parity precision on TPU —
+    # each audited <=1e-3 vs torch, argmax-exact; scripts/tpu_parity_check.py)
+    from ..ops.pallas_gru import default_interpret
+
+    if default_interpret():
+        val_roi_impl, val_gru_impl = "xla", "scan"
+    else:
+        val_roi_impl = ("fused" if (cfg.roi_h, cfg.roi_w) == (48, 96)
+                        else "grouped")
+        val_gru_impl = "pallas"
+
     @jax.jit
     def val_logprobs(params, X, R, L):
-        return ctc_model.forward(params, X, R, L, train=False)
+        return ctc_model.forward(params, X, R, L, train=False,
+                                 roi_impl=val_roi_impl,
+                                 gru_impl=val_gru_impl,
+                                 matmul_precision="parity")
 
     @jax.jit
     def dict_scores(lp, T):
@@ -155,6 +190,7 @@ def train_ctc(cfg: CTCTrainConfig, verbose: bool = True) -> dict:
         blank_id=ctc_model.BLANK_ID, label_to_text=label_to_text,
         uniq_labels=uniq, exp_len=cfg.len_per_char, len_lambda=cfg.len_lambda,
         gru_layers=cfg.gru_layers, seed=cfg.seed,
+        roi_h=cfg.roi_h, roi_w=cfg.roi_w,
     )
     history = []
     for ep in range(1, cfg.epochs + 1):

@@ -51,6 +51,16 @@ def train(
     ``save_opt_state`` (the reference can only cold-start,
     SURVEY.md section 5); ``metrics_path`` streams JSONL metrics;
     ``profile_dir`` captures a jax.profiler trace of the first epoch."""
+    if cfg.steps_per_dispatch < 0:
+        raise ValueError(
+            f"steps_per_dispatch must be >= 0 (0 = whole epoch per "
+            f"dispatch), got {cfg.steps_per_dispatch}"
+        )
+    if cfg.steps_per_dispatch != 1 and (cfg.mesh_shape or cfg.host_data):
+        if verbose:
+            print(f"steps_per_dispatch={cfg.steps_per_dispatch} ignored: "
+                  "the multi-step scan needs the unsharded device-resident "
+                  "dataset (mesh_shape/host_data set) — running per-step")
     index = scan_corpus(cfg.clip_dir, verbose=verbose)
     index, x_dim = filter_modal_dim(index, verbose=verbose)
     warn_mixed_idx_signatures(index, verbose=verbose)

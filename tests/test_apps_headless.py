@@ -786,6 +786,30 @@ def test_viewer_apps_run(capsys):
     assert any("LOWER FACE + CHEEK PREDICTION" == t for t in cv2f.texts)
 
 
+def test_landmarks_view_branches():
+    """all_landmarks.py contract: every index labeled (label_every thins
+    them), NO FACE branch on face loss, 'q' quits early, handles released."""
+    n = 6
+    faces = face_track(n)
+    faces[2] = None  # one face-lost frame
+    with sim_session(keys=[], n_frames=n, faces=faces) as (cv2f, cam, lm):
+        landmarks_view.main(label_every=100)
+    assert "NO FACE" in cv2f.texts and "FACE DETECTED" in cv2f.texts
+    assert "q to quit" in cv2f.texts
+    # label_every=100 -> only indices 0, 100, 200, 300, 400 get labels
+    idx_labels = [t for t in cv2f.texts if t.isdigit()]
+    assert set(idx_labels) == {"0", "100", "200", "300", "400"}
+    assert cam.released and lm.closed and cv2f.destroyed
+
+    with sim_session(keys=_keys(4, q=1), n_frames=4,
+                     faces=face_track(4)) as (cv2f, cam, lm):
+        landmarks_view.main()
+    assert len(cv2f.windows) == 2  # frames 0 and 1 shown, then quit
+    assert cam.released and lm.closed and cv2f.destroyed
+    # default label_every=1 labels every mesh index
+    assert sum(t.isdigit() for t in cv2f.texts) == 2 * 468
+
+
 def test_important_landmarks_staged_prediction_keys():
     """Number keys stage the demo prediction overlay with a random 0.6-0.9
     confidence and a 2 s expiry (important_landmarks.py:188-242); ESC does

@@ -137,43 +137,50 @@ def test_mlp_parity(rng):
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4, rtol=1e-4)
 
 
+class _TorchCTCRoi(nn.Module):
+    """Test fixture from spec: inactive/train_model.py:124-139 TinyROICNN."""
+
+    def __init__(self, out_dim=32):
+        super().__init__()
+        self.net = nn.Sequential(
+            nn.Conv2d(1, 8, 3, padding=1), nn.ReLU(), nn.MaxPool2d(2),
+            nn.Conv2d(8, 16, 3, padding=1), nn.ReLU(), nn.MaxPool2d(2),
+            nn.Conv2d(16, 24, 3, padding=1), nn.ReLU(),
+            nn.AdaptiveAvgPool2d((1, 1)))
+        self.fc = nn.Linear(24, out_dim)
+
+    def forward(self, r):
+        B, T, Cc, H, W = r.shape
+        z = self.net(r.reshape(B * T, Cc, H, W)).reshape(B * T, -1)
+        return self.fc(z).reshape(B, T, -1)
+
+
+class _TorchCTC(nn.Module):
+    """Test fixture from spec: inactive/train_model.py:141-164
+    BiGRUCTCWithROI (module-level so scripts/tpu_parity_check.py can audit
+    the CTC family on-chip too)."""
+
+    def __init__(self, x_dim, hidden=192, num_classes=27):
+        super().__init__()
+        self.roi = _TorchCTCRoi()
+        self.gru = nn.GRU(x_dim + 32, hidden, num_layers=3,
+                          bidirectional=True, batch_first=True, dropout=0.1)
+        self.proj = nn.Linear(hidden * 2, num_classes)
+
+    def forward(self, x, r, lengths):
+        z = torch.cat([x, self.roi(r)], dim=2)
+        packed = nn.utils.rnn.pack_padded_sequence(
+            z, lengths.cpu(), batch_first=True, enforce_sorted=False)
+        out, _ = self.gru(packed)
+        out, _ = nn.utils.rnn.pad_packed_sequence(
+            out, batch_first=True, total_length=x.shape[1])
+        return torch.log_softmax(self.proj(out), dim=2)
+
+
 def test_ctc_model_parity(rng):
     """inactive/train_model.py:141-164 BiGRUCTCWithROI."""
-
-    class TorchRoi(nn.Module):
-        def __init__(self, out_dim=32):
-            super().__init__()
-            self.net = nn.Sequential(
-                nn.Conv2d(1, 8, 3, padding=1), nn.ReLU(), nn.MaxPool2d(2),
-                nn.Conv2d(8, 16, 3, padding=1), nn.ReLU(), nn.MaxPool2d(2),
-                nn.Conv2d(16, 24, 3, padding=1), nn.ReLU(),
-                nn.AdaptiveAvgPool2d((1, 1)))
-            self.fc = nn.Linear(24, out_dim)
-
-        def forward(self, r):
-            B, T, Cc, H, W = r.shape
-            z = self.net(r.reshape(B * T, Cc, H, W)).reshape(B * T, -1)
-            return self.fc(z).reshape(B, T, -1)
-
-    class TorchCTC(nn.Module):
-        def __init__(self, x_dim, hidden=192, num_classes=27):
-            super().__init__()
-            self.roi = TorchRoi()
-            self.gru = nn.GRU(x_dim + 32, hidden, num_layers=3,
-                              bidirectional=True, batch_first=True, dropout=0.1)
-            self.proj = nn.Linear(hidden * 2, num_classes)
-
-        def forward(self, x, r, lengths):
-            z = torch.cat([x, self.roi(r)], dim=2)
-            packed = nn.utils.rnn.pack_padded_sequence(
-                z, lengths.cpu(), batch_first=True, enforce_sorted=False)
-            out, _ = self.gru(packed)
-            out, _ = nn.utils.rnn.pad_packed_sequence(
-                out, batch_first=True, total_length=x.shape[1])
-            return torch.log_softmax(self.proj(out), dim=2)
-
     torch.manual_seed(5)
-    tm = TorchCTC(180).eval()
+    tm = _TorchCTC(180).eval()
     B, T = 2, 19
     x = rng.standard_normal((B, T, 180)).astype(np.float32)
     r = rng.random((B, T, 1, 48, 96)).astype(np.float32)
