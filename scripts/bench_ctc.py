@@ -71,12 +71,14 @@ def bench_ctc_train(B: int, roi_impl: str, iters: int = 10,
         return p, s, losses[-1]
 
     # time by HOST MATERIALIZATION of the scan-chained loss —
-    # block_until_ready does not truly block over the axon relay (CLAUDE.md)
-    float(run(params, opt_state, n=2)[2])  # compile+warm
+    # block_until_ready does not truly block over the axon relay (CLAUDE.md).
+    # Warm BOTH static-n programs (each n is its own jit cache entry).
+    float(run(params, opt_state, n=2)[2])
+    float(run(params, opt_state, n=iters)[2])
     t0 = time.perf_counter()
     float(run(params, opt_state, n=iters)[2])
     t1 = time.perf_counter()
-    # subtract the fixed dispatch via a second short run
+    # subtract the fixed dispatch via a short warm run
     t2 = time.perf_counter()
     float(run(params, opt_state, n=2)[2])
     t3 = time.perf_counter()
@@ -95,9 +97,14 @@ def bench_ctc_eval(B: int, n_words: int, *, roi_impl: str, gru_impl: str,
     dec = CTCDecoder(params, Dictionary.from_words(words), max_t=T,
                      roi_impl=roi_impl, gru_impl=gru_impl,
                      matmul_precision=prec)
-    X = rng.standard_normal((B, T, D)).astype(np.float32)
-    R = rng.integers(0, 256, (B, T, 48, 96), dtype=np.uint8)
-    L = rng.integers(T // 2, T + 1, B).astype(np.int32)
+    # pre-place the batch on device: over the axon relay a fresh 94 MB u8
+    # host array costs ~3.2 s to ship (~30 MB/s, scripts/probe_ctc_eval.py)
+    # which would swamp the compute; jnp.asarray of a device array is free,
+    # so score_batch runs unchanged and the number is the on-chip serving
+    # cost (real TPU hosts feed via PCIe/DMA at GB/s).
+    X = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    R = jnp.asarray(rng.integers(0, 256, (B, T, 48, 96), dtype=np.uint8))
+    L = jnp.asarray(rng.integers(T // 2, T + 1, B).astype(np.int32))
     dec.score_batch(X, R, L)  # compile+warm
     ts = []
     for _ in range(reps):
@@ -108,14 +115,17 @@ def bench_ctc_eval(B: int, n_words: int, *, roi_impl: str, gru_impl: str,
 
 
 def main():
+    import sys
+
     out = {"backend": jax.default_backend(), "T": T}
-    for B in (32, 256):
-        for roi_impl in ("xla", "fused"):
-            ms = bench_ctc_train(B, roi_impl)
-            key = f"train_B{B}_{roi_impl}"
-            out[key] = {"ms_per_step": round(ms, 3),
-                        "clips_per_s": round(B / ms * 1e3, 1)}
-            print(key, out[key], flush=True)
+    if "eval-only" not in sys.argv[1:]:
+        for B in (32, 256):
+            for roi_impl in ("xla", "fused"):
+                ms = bench_ctc_train(B, roi_impl)
+                key = f"train_B{B}_{roi_impl}"
+                out[key] = {"ms_per_step": round(ms, 3),
+                            "clips_per_s": round(B / ms * 1e3, 1)}
+                print(key, out[key], flush=True)
     for n_words in (10, 1000):
         for roi_impl, gru_impl, prec, tag in (
             ("xla", "scan", None, "xla/scan"),

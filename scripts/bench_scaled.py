@@ -82,7 +82,7 @@ def bench_train_scaled(dtype, iters=10):
     return dt, n_params(params)
 
 
-def bench_infer_scaled(dtype, iters=20):
+def bench_infer_scaled(dtype, iters=20, roi_impl="grouped"):
     mcfg = model.BiGRUConfig(**SCALED)
     params = model.init_params(jax.random.PRNGKey(0), mcfg)
     rng = np.random.default_rng(0)
@@ -96,7 +96,7 @@ def bench_infer_scaled(dtype, iters=20):
         def body(c, _):
             logits = model.live_forward(params, mcfg, c, L, R,
                                         compute_dtype=dtype,
-                                        roi_impl="grouped")
+                                        roi_impl=roi_impl)
             eps = (logits[0, 0] * 1e-30).astype(c.dtype)
             return c + eps, logits[0, 0]
         c, outs = lax.scan(body, X, None, length=n)
@@ -106,6 +106,34 @@ def bench_infer_scaled(dtype, iters=20):
     float(run(X, iters))
     t0 = time.perf_counter()
     float(run(X, iters))
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_cnn_share(dtype, iters=20, roi_impl="grouped"):
+    """Time the scaled-geometry ROI-CNN embedding ALONE (96x192, B*T frames)
+    — the evidence for the fused-kernel decision at this shape: the CNN is
+    ~11M MACs/frame vs the h=1024 3-layer GRU's ~48M, so its e2e share
+    bounds what any CNN kernel can buy (VERDICT r4 item 5)."""
+    mcfg = model.BiGRUConfig(**SCALED)
+    params = model.init_params(jax.random.PRNGKey(0), mcfg)
+    rng = np.random.default_rng(0)
+    R = jnp.asarray(rng.integers(0, 256, (B, T, mcfg.roi_h, mcfg.roi_w),
+                                 dtype=np.uint8))
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run(R, n):
+        def body(c, _):
+            e = model.roi_embedding(params["roi_cnn"], c, standardize=False,
+                                    roi_impl=roi_impl, compute_dtype=dtype)
+            eps = (e[0, 0, 0] * 0).astype(c.dtype)
+            return c + eps, e[0, 0, 0]
+        c, outs = lax.scan(body, R, None, length=n)
+        return outs[-1] + c[0, 0, 0].astype(jnp.float32)
+
+    float(run(R, 2))
+    float(run(R, iters))
+    t0 = time.perf_counter()
+    float(run(R, iters))
     return (time.perf_counter() - t0) / iters
 
 
@@ -163,11 +191,16 @@ def main():
                                "clips_per_sec": round(B / dt, 1)}
         print(f"scaled train {tag} ({nparams/1e6:.1f}M params, B={B}): "
               f"{dt*1e3:.2f} ms/step, {B/dt:.0f} clips/s", flush=True)
-    dt = bench_infer_scaled(jnp.bfloat16)
-    out["infer_bf16"] = {"batch_ms": round(dt * 1e3, 2),
-                         "clips_per_sec": round(B / dt, 1)}
-    print(f"scaled infer bf16 (B={B}): {dt*1e3:.2f} ms, {B/dt:.0f} clips/s",
-          flush=True)
+    for roi_impl in ("grouped", "xla"):
+        dt = bench_infer_scaled(jnp.bfloat16, roi_impl=roi_impl)
+        out[f"infer_bf16_{roi_impl}"] = {"batch_ms": round(dt * 1e3, 2),
+                                         "clips_per_sec": round(B / dt, 1)}
+        print(f"scaled infer bf16/{roi_impl} (B={B}): {dt*1e3:.2f} ms, "
+              f"{B/dt:.0f} clips/s", flush=True)
+        dtc = bench_cnn_share(jnp.bfloat16, roi_impl=roi_impl)
+        out[f"cnn_only_bf16_{roi_impl}"] = {"batch_ms": round(dtc * 1e3, 2)}
+        print(f"  ROI-CNN alone: {dtc*1e3:.2f} ms "
+              f"({100*dtc/dt:.0f}% of e2e)", flush=True)
     print(json.dumps(out))
 
 

@@ -72,8 +72,9 @@ class TrainConfig:
     # TPU-specific knobs (no reference counterpart)
     compute_dtype: str = "float32"  # "bfloat16" for throughput
     # 'auto' = 'fused' (recompute-in-VMEM custom-VJP Pallas kernel pair,
-    # 1.4-1.7x on TPU at >=4096 frames/step) else 'xla'; also accepts
-    # explicit 'xla' | 'grouped' | 'fused' (train/step.resolve_roi_impl)
+    # 1.08-1.96x on TPU at >=2048 frames/step — measured at T=32 and T=80,
+    # train/step.resolve_roi_impl) else 'xla'; also accepts explicit
+    # 'xla' | 'grouped' | 'fused'
     roi_impl: str = "auto"
     # recompute ROI-CNN activations in the backward instead of storing them
     # (identical gradients; the step is activation-HBM-bound —
@@ -163,12 +164,13 @@ class CTCTrainConfig:
     trim_pad: int = 2
     # TPU-specific knobs (no reference counterpart)
     compute_dtype: str = "float32"  # "bfloat16" for throughput
-    # 'auto' = the fused custom-VJP Pallas CNN pair on TPU at >=4096
+    # 'auto' = the fused custom-VJP Pallas CNN pair on TPU at >=2048
     # frames/step (train/step.resolve_roi_impl — the CTC default
-    # batch_size*max_t = 2560 stays 'xla'; raise batch_size to cross), else
-    # 'xla'; also accepts explicit 'xla' | 'grouped' | 'fused'. The
-    # per-epoch validation sweep always uses the serving defaults (fused
-    # CNN + pallas GRU + parity precision on TPU).
+    # batch_size*max_t = 2560 crosses it: measured 1.24x over 'xla' at
+    # B=32 T=80, 1.96x at B=256; docs/CTC_PERF.md round 5), else 'xla';
+    # also accepts explicit 'xla' | 'grouped' | 'fused'. The per-epoch
+    # validation sweep always uses the serving defaults (fused CNN +
+    # pallas GRU + parity precision on TPU).
     roi_impl: str = "auto"
 
 

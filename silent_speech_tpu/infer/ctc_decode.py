@@ -277,7 +277,16 @@ class CTCDecoder:
             jnp.asarray(lengths))
         Tj = jnp.asarray(lengths, jnp.int32)
         N = len(self.dict.words)
-        cw = self.chunk_words or N
+        # The lattice hoists emissions to one (clips, words, T, S_pad) f32
+        # tensor (ops/ctc._ctc_alphas — the hoist is what keeps the TPU
+        # compile fast); batched over clips that blows up as B*N. Bound it
+        # to ~1 GB by auto-chunking the dictionary — a measured 19.5 GB OOM
+        # at B=256 x W=1000 x T=80 without this (build/r5/bench_ctc.log).
+        # A user chunk_words only ever tightens the bound further.
+        B = len(lp)
+        s_pad = -(-(2 * self.dict.ids.shape[1] + 1) // 128) * 128
+        cw_auto = max(1, int(1e9 / (B * self.max_t * s_pad * 4)))
+        cw = min(self.chunk_words or N, cw_auto)
         outs = []
         for s0 in range(0, N, cw):
             ids = self.dict.ids[s0:s0 + cw]

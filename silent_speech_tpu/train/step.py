@@ -43,11 +43,14 @@ def resolve_roi_impl(roi_impl: str, mcfg, frames_per_step: int,
     'fused' (the recompute-in-VMEM custom-VJP kernel pair) wins on a real
     TPU once the batch amortizes the backward kernel's fixed cost —
     measured crossover at T=32 (v5e-1, 2026-08-19): B=16 0.62x, B=64
-    1.08x, B=128 1.43x, B=256 1.72x vs 'xla'. The >=4096-frames gate takes
-    the clear wins and leaves the reference-protocol B=16 on 'xla'. The
-    sharded (GSPMD) step keeps 'xla' under 'auto': the fused pair is
-    virtual-mesh-tested but has never run on real multi-chip hardware
-    (explicitly passing roi_impl='fused' still works there).
+    1.08x, B=128 1.43x, B=256 1.72x vs 'xla'; the CTC geometry confirms
+    the frames gate across T (T=80: 2560 frames 1.24x, 20480 frames 1.96x
+    — scripts/bench_ctc.py, docs/CTC_PERF.md round 5). The >=2048-frames
+    gate takes every measured win and leaves the reference-protocol B=16
+    (512 frames, 0.62x) on 'xla'. The sharded (GSPMD) step keeps 'xla'
+    under 'auto': the fused pair is virtual-mesh-tested but has never run
+    on real multi-chip hardware (explicitly passing roi_impl='fused' still
+    works there).
     """
     if roi_impl != "auto":
         return roi_impl
@@ -55,7 +58,7 @@ def resolve_roi_impl(roi_impl: str, mcfg, frames_per_step: int,
 
     if (not sharded and mcfg.use_roi
             and (mcfg.roi_h, mcfg.roi_w) == (48, 96)
-            and frames_per_step >= 4096 and not default_interpret()):
+            and frames_per_step >= 2048 and not default_interpret()):
         return "fused"
     return "xla"
 

@@ -99,8 +99,9 @@ def test_fused_train_rejects_bad_geometry():
 
 def test_resolve_roi_impl(monkeypatch):
     """'auto' takes fused only on a real TPU, unsharded, 48x96 ROI, and
-    >=4096 frames/step (the measured crossover); explicit impls pass
-    through untouched."""
+    >=2048 frames/step (the measured crossover: 1.08x at 2048 frames T=32,
+    1.24x at 2560 frames T=80 — docs/TRAIN_PERF.md + docs/CTC_PERF.md);
+    explicit impls pass through untouched."""
     from silent_speech_tpu.ops import pallas_gru
     from silent_speech_tpu.train.step import resolve_roi_impl
 
@@ -112,6 +113,7 @@ def test_resolve_roi_impl(monkeypatch):
     # pretend-TPU: the gates flip it
     monkeypatch.setattr(pallas_gru, "default_interpret", lambda: False)
     assert resolve_roi_impl("auto", mcfg, 8192) == "fused"
+    assert resolve_roi_impl("auto", mcfg, 2048) == "fused"   # gate edge
     assert resolve_roi_impl("auto", mcfg, 512) == "xla"      # small batch
     assert resolve_roi_impl("auto", mcfg, 8192, sharded=True) == "xla"
     no_roi = model.BiGRUConfig(x_dim=8, num_classes=3, use_roi=False)
