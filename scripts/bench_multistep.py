@@ -58,8 +58,17 @@ def main():
     multi = make_multi_train_step(scfg, opt)
     out = {"B": B, "T": T, "steps_per_epoch": steps}
 
+    # the jitted steps donate (params, opt_state) — re-place fresh device
+    # copies from host numpy each epoch or the second run reads deleted
+    # buffers (the real loop never restarts from stale params)
+    params_np = jax.tree.map(np.asarray, params)
+
+    def _fresh():
+        p = jax.tree.map(jnp.asarray, params_np)
+        return p, opt.init(p)
+
     def epoch_per_step():
-        p, s = params, opt.init(params)
+        p, s = _fresh()
         key = jax.random.PRNGKey(1)
         tot = 0.0
         for idx in batches:
@@ -68,7 +77,7 @@ def main():
         return tot
 
     def epoch_multi(K):
-        p, s = params, opt.init(params)
+        p, s = _fresh()
         key = jax.random.PRNGKey(1)
         tot = 0.0
         for c in range(0, steps, K):

@@ -81,12 +81,15 @@ class TrainConfig:
     # docs/TRAIN_PERF.md has the measurement)
     roi_remat: bool = False
     # train steps per device dispatch on the HBM-resident-dataset path:
-    # 1 = one jitted step per batch (per-step metric fetch); K>1 = scan K
-    # steps inside ONE dispatch (lax.scan over stacked batch indices —
-    # same trajectory, host cost /K); 0 = the whole epoch in one dispatch.
-    # Same rng/update sequence as the per-step path (pinned by tests);
-    # ignored when mesh_shape or host_data is set.
-    steps_per_dispatch: int = 1
+    # 0 (the default) = the whole epoch as one lax.scan dispatch; K>=2 =
+    # chunks of K steps; 1 = one jitted step per batch (per-step metric
+    # fetch — the reference's dispatch granularity). Same rng/update
+    # sequence in every mode (pinned by tests); ignored when mesh_shape or
+    # host_data is set. Measured at the reference protocol B=16 (v5e-1,
+    # scripts/bench_multistep.py, 2026-08-19): per-step 37.4 ms/step (427
+    # clips/s, dispatch-bound over the relay) -> K=32 3.43 ms -> whole
+    # epoch 2.77 ms/step (5768 clips/s, 13.5x) — docs/TRAIN_PERF.md.
+    steps_per_dispatch: int = 0
     mesh_shape: Optional[dict] = None  # e.g. {"data": 4, "model": 2}
     # keep the corpus in host RAM and ship batches per step instead of
     # holding the whole padded dataset in HBM (for corpora larger than HBM)

@@ -56,7 +56,10 @@ def train(
             f"steps_per_dispatch must be >= 0 (0 = whole epoch per "
             f"dispatch), got {cfg.steps_per_dispatch}"
         )
-    if cfg.steps_per_dispatch != 1 and (cfg.mesh_shape or cfg.host_data):
+    if (cfg.steps_per_dispatch not in (0, 1)
+            and (cfg.mesh_shape or cfg.host_data)):
+        # 0 is the default and silently degrades to per-step on these
+        # paths; an explicit K>=2 deserves a loud signal
         if verbose:
             print(f"steps_per_dispatch={cfg.steps_per_dispatch} ignored: "
                   "the multi-step scan needs the unsharded device-resident "
