@@ -128,7 +128,7 @@ def bench_cnn_share(dtype, iters=20, roi_impl="grouped"):
             eps = (e[0, 0, 0] * 0).astype(c.dtype)
             return c + eps, e[0, 0, 0]
         c, outs = lax.scan(body, R, None, length=n)
-        return outs[-1] + c[0, 0, 0].astype(jnp.float32)
+        return outs[-1] + c[0, 0, 0, 0].astype(jnp.float32)
 
     float(run(R, 2))
     float(run(R, iters))
@@ -197,10 +197,11 @@ def main():
                                          "clips_per_sec": round(B / dt, 1)}
         print(f"scaled infer bf16/{roi_impl} (B={B}): {dt*1e3:.2f} ms, "
               f"{B/dt:.0f} clips/s", flush=True)
-        dtc = bench_cnn_share(jnp.bfloat16, roi_impl=roi_impl)
-        out[f"cnn_only_bf16_{roi_impl}"] = {"batch_ms": round(dtc * 1e3, 2)}
-        print(f"  ROI-CNN alone: {dtc*1e3:.2f} ms "
-              f"({100*dtc/dt:.0f}% of e2e)", flush=True)
+        for dtype, tag in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32")):
+            dtc = bench_cnn_share(dtype, roi_impl=roi_impl)
+            out[f"cnn_only_{tag}_{roi_impl}"] = {"batch_ms": round(dtc * 1e3, 2)}
+            print(f"  ROI-CNN alone ({tag}): {dtc*1e3:.2f} ms "
+                  f"({100*dtc/dt:.0f}% of bf16 e2e)", flush=True)
     print(json.dumps(out))
 
 
