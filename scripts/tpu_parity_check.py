@@ -87,11 +87,18 @@ def main():
             # the audited mode must be the shipped mode
             ("fused", "pallas", jnp.float32, "parity",
              "fused/pallas/f32/parity"),
+            # int8 fused CNN (variant='tiled3_q8'): opt-in fast serving
+            # mode; its bar is the bf16-style guardrail (argmax 1.000 +
+            # bounded drift), not 1e-3 — quantization noise is ~1e-2 class
+            ("fused-q8", "pallas", jnp.float32, "parity",
+             "fused-q8/pallas/f32/parity"),
         ):
+            roi_variant = "tiled3_q8" if roi_impl == "fused-q8" else "tiled3"
             logits = np.asarray(model.live_forward(
                 params, mcfg, jnp.asarray(X), jnp.asarray(L.astype(np.int32)),
                 jnp.asarray(R), compute_dtype=dtype,
-                roi_impl=roi_impl, gru_impl=gru_impl,
+                roi_impl="fused" if roi_impl == "fused-q8" else roi_impl,
+                gru_impl=gru_impl, roi_variant=roi_variant,
                 matmul_precision=prec))
             err = float(np.max(np.abs(logits - ref)))
             agree = float(np.mean(logits.argmax(-1) == ref.argmax(-1)))

@@ -218,6 +218,11 @@ def roi_embedding(
             "'xla'/'grouped'")
     B, T = roi.shape[:2]
     if roi_impl == "fused" and train:
+        if roi_variant == "tiled3_q8":
+            raise ValueError(
+                "roi_variant='tiled3_q8' is a serving-only quantized mode "
+                "(no int8 training contract); use the default variant for "
+                "train=True")
         # differentiable fused CNN: recompute-in-VMEM backward emitting
         # weight grads only — bypasses the activation-HBM roofline that
         # binds the XLA train step (docs/TRAIN_PERF.md)
@@ -233,7 +238,8 @@ def roi_embedding(
             pack_roi_cnn_fused_traceable, roi_cnn_fused)
 
         if roi_packed is None:
-            roi_packed = pack_roi_cnn_fused_traceable(p_roi)
+            roi_packed = pack_roi_cnn_fused_traceable(p_roi,
+                                                      variant=roi_variant)
         fused_kw = {} if roi_f_tile is None else {"f_tile": roi_f_tile}
         return roi_cnn_fused(
             roi.reshape(B * T, *roi.shape[2:]), roi_packed,

@@ -181,12 +181,59 @@ def _pack_indices():
     return tuple(as_np(s) for s in (s1e, s1o, s2, s2t, s3, s3t))
 
 
-def pack_roi_cnn_fused_traceable(params: dict) -> dict:
+def _quantize_pack(packed: dict) -> dict:
+    """f32 tiled3 pack -> the int8 serving pack (variant='tiled3_q8').
+
+    Per-PACKED-COLUMN symmetric weight quantization. Because every stage is
+    haloed (SAME-pad zeros live in activation halo lanes, never in dropped
+    weight taps), each packed column holds exactly one output channel's full
+    3x3xC kernel — so per-column here IS per-output-channel quantization,
+    the standard int8 granularity.
+
+    Emitted operands (all (1, cols) rows broadcast over the tile):
+      w1q  s8 [W1E | W1O]       d1  = s1/255 (folds the /255 input scale)
+      cf1  = 128*colsum(w1q)*d1 (the centered-input correction, f32)
+      w2q/w3q s8 tiles          sw2/sw3 per-column scales
+      cq2/cq3 = 128*colsum(wq)  (activation zero-point corrections, f32;
+                                 the dequant multiplies them by sw*a_frame)
+    Math contract (pinned by tests/test_pallas_cnn2.py's independent
+    fake-quant reference): dot(q, wq) + 128*colsum(wq) == dot(q+128, wq),
+    and (q+128)*a == the quantized activation, so each stage equals an XLA
+    conv over fake-quantized activations with dequantized weights."""
+    q8 = lambda m: jnp.clip(jnp.round(m * (127.0 / _colmax(m))),
+                            -127, 127).astype(jnp.int8)
+    _colmax = lambda m: jnp.maximum(
+        jnp.max(jnp.abs(m), axis=0, keepdims=True), 1e-30)
+    colsum = lambda q: jnp.sum(q.astype(jnp.float32), axis=0, keepdims=True)
+    w1 = jnp.concatenate([jnp.asarray(packed["w1e"], jnp.float32),
+                          jnp.asarray(packed["w1o"], jnp.float32)], axis=1)
+    s1 = _colmax(w1) / 127.0
+    w1q = jnp.clip(jnp.round(w1 / s1), -127, 127).astype(jnp.int8)
+    d1 = s1 * (1.0 / 255.0)
+    w2q = q8(jnp.asarray(packed["w2t"], jnp.float32))
+    sw2 = _colmax(jnp.asarray(packed["w2t"], jnp.float32)) / 127.0
+    w3q = q8(jnp.asarray(packed["w3t"], jnp.float32))
+    sw3 = _colmax(jnp.asarray(packed["w3t"], jnp.float32)) / 127.0
+    return {
+        "w1q": w1q, "d1": d1, "cf1": 128.0 * colsum(w1q) * d1,
+        "b1": packed["b1"],
+        "w2q": w2q, "sw2": sw2, "cq2": 128.0 * colsum(w2q),
+        "b2": packed["b2"],
+        "w3q": w3q, "sw3": sw3, "cq3": 128.0 * colsum(w3q),
+        "b3t": packed["b3t"],
+        "fc_w": packed["fc_w"], "fc_b": packed["fc_b"],
+    }
+
+
+def pack_roi_cnn_fused_traceable(params: dict,
+                                 variant: Optional[str] = None) -> dict:
     """jit-traceable pack (scatter form): identical values to
     ``pack_roi_cnn_fused`` (pinned by tests) but works on tracers, so
     ``forward(roi_impl='fused')`` can pack inline under jit. Negligible
     per-call cost (~10k-element scatters); precompute with the numpy pack
-    when params are concrete (Predictor does)."""
+    when params are concrete (Predictor does). ``variant='tiled3_q8'``
+    emits the int8 serving pack; any other value emits the full f32 pack
+    (every variant reads from it)."""
     mats = []
     for (rows, cols, flat), shape, src in zip(_pack_indices(), _PACK_SHAPES,
                                               _PACK_SRC):
@@ -197,7 +244,7 @@ def pack_roi_cnn_fused_traceable(params: dict) -> dict:
     b3 = jnp.asarray(params["conv2"]["b"], jnp.float32)
     b3t_cols = (np.arange(8)[:, None] * 32 + np.arange(C3)[None, :]).ravel()
     b3t = jnp.zeros((1, 256), jnp.float32).at[0, b3t_cols].set(jnp.tile(b3, 8))
-    return {
+    out = {
         "w1e": w1e, "w1o": w1o, "b1": tile(params["conv0"]["b"], W1P),
         "w2": w2, "w2t": w2t, "b2": tile(params["conv1"]["b"], W2P),
         "w3": w3, "b3": tile(params["conv2"]["b"], W2P),
@@ -205,6 +252,9 @@ def pack_roi_cnn_fused_traceable(params: dict) -> dict:
         "fc_w": jnp.asarray(params["fc"]["w"], jnp.float32),
         "fc_b": jnp.asarray(params["fc"]["b"], jnp.float32)[None, :],
     }
+    if variant == "tiled3_q8":
+        return _quantize_pack(out)
+    return out
 
 
 def pack_roi_cnn_fused(params: dict, *, variant: Optional[str] = None) -> dict:
@@ -218,16 +268,18 @@ def pack_roi_cnn_fused(params: dict, *, variant: Optional[str] = None) -> dict:
     so a fixed-variant Predictor doesn't keep ~6 MB of dead f32 weights
     resident in HBM."""
     # keys each variant's kernel call actually loads (roi_cnn_fused)
-    if variant not in (None, "wide", "tiled", "tiled3", "stacked", "stacked1"):
+    if variant not in (None, "wide", "tiled", "tiled3", "stacked", "stacked1",
+                       "tiled3_q8"):
         # fail at pack/Predictor-construction time, not at the first
         # forward — roi_cnn_fused raises the same set
         raise ValueError(f"unknown fused-CNN variant {variant!r} (expected "
-                         "'wide', 'tiled', 'tiled3', 'stacked' or 'stacked1')")
+                         "'wide', 'tiled', 'tiled3', 'stacked', 'stacked1' "
+                         "or 'tiled3_q8')")
     need = {
         None: ("w1e", "w1o", "w2", "w2t", "w3", "w3t"),
         "wide": ("w1e", "w1o", "w2", "w3"),
         "tiled": ("w1e", "w1o", "w2t", "w3"),
-    }.get(variant, ("w1e", "w1o", "w2t", "w3t"))  # tiled3/stacked/stacked1
+    }.get(variant, ("w1e", "w1o", "w2t", "w3t"))  # tiled3/stacked*/q8
     mats = {}
     for (rows, cols, flat), shape, src, key in zip(
             _pack_indices(), _PACK_SHAPES, _PACK_SRC,
@@ -253,6 +305,8 @@ def pack_roi_cnn_fused(params: dict, *, variant: Optional[str] = None) -> dict:
     out["fc_w"] = jnp.asarray(np.asarray(params["fc"]["w"], np.float32))
     out["fc_b"] = jnp.asarray(
         np.asarray(params["fc"]["b"], np.float32)[None, :])
+    if variant == "tiled3_q8":
+        return _quantize_pack(out)
     return out
 
 
@@ -267,23 +321,28 @@ def _iota2(shape, dim):
 def _roll_rows(x, shift):
     # Mosaic lowers pltpu.roll to tpu.dynamic_rotate, which only supports
     # 32-bit element types ("Rotate with non-32-bit data" compile error on
-    # the bf16 serving mode, measured 2026-08-18). Widen through f32 for the
-    # rotate: bf16 -> f32 -> bf16 is an exact round-trip, and the two VPU
-    # casts are noise next to the stage matmuls.
+    # the bf16 serving mode, measured 2026-08-18). Widen through f32 (exact
+    # round-trip for bf16) or i32 (exact for int8) for the rotate; the two
+    # VPU casts are noise next to the stage matmuls.
     if x.dtype.itemsize == 4:
         return pltpu.roll(x, shift, axis=0)
-    return pltpu.roll(x.astype(jnp.float32), shift, axis=0).astype(x.dtype)
+    wide = (jnp.float32 if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.int32)
+    return pltpu.roll(x.astype(wide), shift, axis=0).astype(x.dtype)
 
 
-def _shift_down(x, kk):
-    """Row r receives row r-1's value; zero at the first row of each frame.
-    (Source row one ABOVE = the previous in-frame row.)"""
-    return jnp.where(kk == 0, 0.0, _roll_rows(x, 1))
+def _shift_down(x, kk, pad=0.0):
+    """Row r receives row r-1's value; ``pad`` at the first row of each
+    frame. (Source row one ABOVE = the previous in-frame row.) ``pad`` is
+    0.0 for float activations and -128 for the q8 kernel's centered-s8
+    encoding of a zero input."""
+    return jnp.where(kk == 0, pad, _roll_rows(x, 1))
 
 
-def _shift_up(x, kk):
-    """Row r receives row r+1's value; zero at the last row of each frame."""
-    return jnp.where(kk == HQ - 1, 0.0, _roll_rows(x, x.shape[0] - 1))
+def _shift_up(x, kk, pad=0.0):
+    """Row r receives row r+1's value; ``pad`` at the last row of each
+    frame."""
+    return jnp.where(kk == HQ - 1, pad, _roll_rows(x, x.shape[0] - 1))
 
 
 def _front_widen(x_ref, front: str):
@@ -590,6 +649,189 @@ def _roi_fused_kernel(standardize: bool, variant: str, F: int, front: str,
     )
 
 
+def _inframe_spread_max(m, kk):
+    """All-rows-in-frame max of a non-negative (M, 1) column: after rounds
+    of symmetric masked-roll maxing at shifts 1/2/4/8 every row holds the
+    max over its whole HQ=12-row frame (radius 15 >= 11). Pure (M, 1) VPU
+    work — no transposes, no (F, .) reshapes, deterministic per frame, so
+    quantization scales derived from it are batch- and f_tile-invariant."""
+    M = m.shape[0]
+    s = 1
+    while s < HQ:
+        dn = jnp.where(kk - s >= 0, _roll_rows(m, s), 0.0)
+        up = jnp.where(kk + s <= HQ - 1, _roll_rows(m, M - s), 0.0)
+        m = jnp.maximum(m, jnp.maximum(dn, up))
+        s *= 2
+    return m
+
+
+def _roi_fused_q8_kernel(F: int,
+                         x_ref,
+                         w1_ref, d1_ref, cf1_ref, b1_ref,
+                         w2_ref, sw2_ref, cq2_ref, b2_ref,
+                         w3_ref, sw3_ref, cq3_ref, b3_ref,
+                         fcw_ref, fcb_ref,
+                         out_ref,
+                         halo_ref, p1_ref, c1_ref, he_ref, ho_ref,
+                         p2_ref, c2_ref, c3_ref):
+    """int8 serving kernel (variant='tiled3_q8'): the tiled3 dataflow with
+    every stage dot on the MXU's s8 x s8 -> s32 path (measured 1.60-1.65x
+    the f32 rate at these exact tile shapes, scripts/probe_int8.py) and all
+    inter-stage scratch in s8 (4x fewer copy bytes).
+
+    Quantization scheme (see _quantize_pack for the weight side):
+    - stage 1 is integer-EXACT w.r.t. the quantized weights: the u8 input
+      is centered to s8 (x - 128; SAME-pad halo positions hold -128 = true
+      zero), and the precomputed cf1 = 128*colsum(w1q)*d1 correction
+      restores dot(x, w1q) from dot(x-128, w1q). |dot| <= 104*128*127 ~
+      1.7e6, no s32 overflow.
+    - stages 2/3 re-quantize their (ReLU >= 0) f32 inputs per FRAME with a
+      dynamic scale a = frame_max/255 via q = floor(v/a + 0.5) - 128 (full
+      s8 range; -128 encodes exactly 0, so halo/shift pads are -128). Every
+      contraction for an output row draws only from its own frame (row
+      shifts are frame-masked), so one scale per row factors out of the dot
+      and the dequant is (dot + 128*colsum(wq)) * sw[col] * a[row].
+    - dequant happens immediately after each dot; pooling maxes, bias adds,
+      ReLU, the global mean and the fc all stay f32, identical to tiled3.
+
+    Per-frame (not per-tile) scales keep each clip's embedding independent
+    of what else shares its grid step: outputs are batch-size- and
+    f_tile-invariant, like every other variant. Fidelity contract is the
+    bf16-style guardrail (argmax-exact on a trained model + bounded logit
+    drift, tests/test_pallas_cnn2.py / test_bf16_parity.py), NOT the 1e-3
+    parity bar — this is an opt-in fast serving mode.
+    """
+    M = F * HQ
+    kk = _iota2((M, 1), 0) % HQ
+    PAD = -128  # s8 encoding of a zero input/activation
+
+    # front: raw u8 -> centered s8 (exact); h-mod-4 classes are the four
+    # 96-lane slices of the free-reshaped (M, 384) block, as in tiled3.
+    # Only the pad lanes (0 and 97:128) are filled with PAD — a full-buffer
+    # fill re-writes 4x the bytes for nothing.
+    xi = x_ref[...].astype(jnp.int32) - 128
+    for c in range(4):
+        halo_ref[c, :, 0:1] = jnp.full_like(halo_ref[c, :, 0:1], PAD)
+        halo_ref[c, :, 1 + W0:] = jnp.full_like(halo_ref[c, :, 1 + W0:], PAD)
+        halo_ref[c, :, 1:1 + W0] = xi[:, W0 * c: W0 * (c + 1)].astype(jnp.int8)
+
+    # ---- stage 1: parity conv0 + pool1, integer dots ----
+    x3d = _shift_down(halo_ref[3][...], kk, PAD)
+    x0u = _shift_up(halo_ref[0][...], kk, PAD)
+    views = [
+        (x3d, halo_ref[0][...], halo_ref[1][...]),
+        (halo_ref[0][...], halo_ref[1][...], halo_ref[2][...]),
+        (halo_ref[1][...], halo_ref[2][...], halo_ref[3][...]),
+        (halo_ref[2][...], halo_ref[3][...], x0u),
+    ]
+    b1 = b1_ref[...]
+    d1 = d1_ref[...]
+    cf1 = cf1_ref[...]
+    # patch pad lanes (102:104) can hold anything: their w1q rows are zero
+    # in the dot AND in the colsum correction
+    p1_ref[:, 3 * 34:] = jnp.zeros_like(p1_ref[:, 3 * 34:])
+    for base, (ca, cb) in ((0, (0, 1)), (384, (2, 3))):
+        for c in (ca, cb):
+            for j in range(3):
+                for dy in range(3):
+                    p1_ref[:, dy * 34: dy * 34 + 34] = (
+                        views[c][dy][:, 32 * j: 32 * j + 34])
+                y = jnp.dot(p1_ref[...], w1_ref[...],
+                            preferred_element_type=jnp.int32)
+                yf = y.astype(jnp.float32) * d1 + cf1
+                m = jnp.maximum(yf[:, 0:128], yf[:, 128:256])
+                sl = slice(base + 128 * j, base + 128 * (j + 1))
+                if c == ca:
+                    c1_ref[:, sl] = m
+                else:
+                    c1_ref[:, sl] = jnp.maximum(c1_ref[:, sl], m)
+        osl = slice(base, base + 384)
+        c1_ref[:, osl] = jnp.maximum(c1_ref[:, osl] + b1, 0.0)
+
+    def quant_rows(v, rv):
+        # v >= 0, v <= 1/rv * 255 by construction -> q in [-128, 127].
+        # v*rv + 0.5 > 0, so the truncating f32->i32 cast IS floor — no
+        # explicit jnp.floor needed; the -128 centering rides the i32 sub.
+        return ((v * rv + 0.5).astype(jnp.int32) - 128).astype(jnp.int8)
+
+    def _pad_halo(ref):
+        # fill only the 16-lane halo strips, not the whole buffer
+        ref[:, 0:16] = jnp.full_like(ref[:, 0:16], PAD)
+        ref[:, 400:] = jnp.full_like(ref[:, 400:], PAD)
+
+    # ---- stage 2: re-quantize c1 per frame, tiled int8 dots ----
+    c1v = c1_ref[...]
+    fm2 = _inframe_spread_max(jnp.max(c1v, axis=1, keepdims=True), kk)
+    av2 = jnp.maximum(fm2, 1e-12) * (1.0 / 255.0)   # (M, 1) frame scale
+    rv2 = 1.0 / av2
+    _pad_halo(he_ref)
+    _pad_halo(ho_ref)
+    he_ref[:, 16:400] = quant_rows(c1v[:, 0:384], rv2)
+    ho_ref[:, 16:400] = quant_rows(c1v[:, 384:768], rv2)
+    hE = he_ref[...]
+    hO = ho_ref[...]
+    vOd = _shift_down(hO, kk, PAD)   # input row 2p-1
+    vEu = _shift_up(hE, kk, PAD)     # input row 2p+2
+    b2t = b2_ref[:, 0:128]
+    sw2 = sw2_ref[...]
+    cq2 = cq2_ref[...]
+    p2_ref[:, 480:] = jnp.zeros_like(p2_ref[:, 480:])
+    for j in range(3):
+        sl = slice(128 * j, 128 * j + 160)
+        for dy, view in ((0, vOd), (1, hE), (2, hO)):    # E rows 2p
+            p2_ref[:, dy * 160: dy * 160 + 160] = view[:, sl]
+        yE = jnp.dot(p2_ref[...], w2_ref[...],
+                     preferred_element_type=jnp.int32)
+        yEf = (yE.astype(jnp.float32) + cq2) * sw2 * av2
+        for dy, view in ((0, hE), (1, hO), (2, vEu)):    # O rows 2p+1
+            p2_ref[:, dy * 160: dy * 160 + 160] = view[:, sl]
+        yO = jnp.dot(p2_ref[...], w2_ref[...],
+                     preferred_element_type=jnp.int32)
+        yOf = (yO.astype(jnp.float32) + cq2) * sw2 * av2
+        c2_ref[:, 128 * j: 128 * (j + 1)] = jnp.maximum(
+            jnp.maximum(jnp.maximum(yEf[:, 0:128], yEf[:, 128:256]),
+                        jnp.maximum(yOf[:, 0:128], yOf[:, 128:256]))
+            + b2t, 0.0)
+
+    # ---- stage 3: re-quantize c2 per frame, tiled int8 dots ----
+    c2v = c2_ref[...]
+    fm3 = _inframe_spread_max(jnp.max(c2v, axis=1, keepdims=True), kk)
+    av3 = jnp.maximum(fm3, 1e-12) * (1.0 / 255.0)
+    rv3 = 1.0 / av3
+    # he's halo strips already hold PAD from stage 2; only the interior
+    # changes hands
+    he_ref[:, 16:400] = quant_rows(c2v, rv3)
+    h3 = he_ref[...]
+    v3d = _shift_down(h3, kk, PAD)
+    v3u = _shift_up(h3, kk, PAD)
+    b3 = b3_ref[...]
+    sw3 = sw3_ref[...]
+    cq3 = cq3_ref[...]
+    for j in range(3):
+        sl = slice(128 * j, 128 * j + 160)
+        p2_ref[:, 0:160] = v3d[:, sl]
+        p2_ref[:, 160:320] = h3[:, sl]
+        p2_ref[:, 320:480] = v3u[:, sl]
+        y = jnp.dot(p2_ref[...], w3_ref[...],
+                    preferred_element_type=jnp.int32)
+        yf = (y.astype(jnp.float32) + cq3) * sw3 * av3
+        c3_ref[:, 256 * j: 256 * (j + 1)] = jnp.maximum(yf + b3, 0.0)
+
+    # global mean + fc: identical to tiled3 (ch_step=32 padded layout)
+    sfr = (_iota2((F, M), 1) // HQ == _iota2((F, M), 0)).astype(jnp.float32)
+    by_frame = jnp.dot(sfr, c3_ref[...],
+                       preferred_element_type=jnp.float32)
+    L3 = W2P * 32
+    scol = (_iota2((L3, C3), 0) % 32
+            == _iota2((L3, C3), 1)).astype(jnp.float32)
+    feat = jnp.dot(by_frame, scol,
+                   preferred_element_type=jnp.float32) / (HQ * W2P)
+    out_ref[...] = (
+        jnp.dot(feat, fcw_ref[...], preferred_element_type=jnp.float32)
+        + fcb_ref[...]
+    )
+
+
 @functools.partial(jax.jit,
                    static_argnames=("standardize", "interpret",
                                     "compute_dtype", "variant", "f_tile",
@@ -635,10 +877,21 @@ def roi_cnn_fused(
     regroups their f32 reduction tree (<=1e-6 reassociation drift,
     tests/test_pallas_cnn2.py).
     """
-    if variant not in ("wide", "tiled", "tiled3", "stacked", "stacked1"):
+    if variant not in ("wide", "tiled", "tiled3", "stacked", "stacked1",
+                       "tiled3_q8"):
         raise ValueError(f"unknown variant {variant!r}")
     if front not in ("u8", "bf16", "f32"):
         raise ValueError(f"unknown front {front!r}")
+    if variant == "tiled3_q8":
+        if standardize:
+            raise ValueError(
+                "variant='tiled3_q8' is a serving-only quantized mode; the "
+                "train-path standardize forward has no int8 contract — use "
+                "'tiled3' (or roi_impl='grouped'/'xla') for training")
+        if front != "u8":
+            raise ValueError(
+                "variant='tiled3_q8' quantizes from the raw u8 stream "
+                "in-kernel; front must stay 'u8'")
     if f_tile < 1 or f_tile % 2:
         raise ValueError(f"f_tile must be a positive even frame count, "
                          f"got {f_tile}")
@@ -680,6 +933,39 @@ def roi_cnn_fused(
                            memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
+    if variant == "tiled3_q8":
+        out = pl.pallas_call(
+            functools.partial(_roi_fused_q8_kernel, F),
+            grid=(N_pad // F,),
+            in_specs=[spec_in,
+                      const((KP1, 256)), const((1, 256)), const((1, 256)),
+                      const((1, 384)),
+                      const((512, 256)), const((1, 256)), const((1, 256)),
+                      const((1, 384)),
+                      const((512, 256)), const((1, 256)), const((1, 256)),
+                      const((1, 256)),
+                      const((C3, emb)), const((1, emb))],
+            out_specs=pl.BlockSpec((F, emb), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N_pad, emb), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((4, M, 128), jnp.int8),   # haloed input classes
+                pltpu.VMEM((M, KP1), jnp.int8),      # stage-1 patch
+                pltpu.VMEM((M, 768), jnp.float32),   # c1p (dequantized)
+                pltpu.VMEM((M, 512), jnp.int8),      # hE (16-lane halos)
+                pltpu.VMEM((M, 512), jnp.int8),      # hO / stage-3 halo
+                pltpu.VMEM((M, 512), jnp.int8),      # tile patch (s2 + s3)
+                pltpu.VMEM((M, 384), jnp.float32),   # c2 (dequantized)
+                pltpu.VMEM((M, 768), jnp.float32),   # c3 (w*32+co layout)
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(x_in, packed["w1q"], packed["d1"], packed["cf1"], packed["b1"],
+          packed["w2q"], packed["sw2"], packed["cq2"], packed["b2"],
+          packed["w3q"], packed["sw3"], packed["cq3"], packed["b3t"],
+          packed["fc_w"], packed["fc_b"])
+        return out[:N]
     cast = lambda k: packed[k].astype(cdtype)
     # stage-1 parity halves ride one dot: [W1E | W1O] (128-lane halves)
     w1 = jnp.concatenate([packed["w1e"], packed["w1o"]], axis=1)

@@ -107,3 +107,38 @@ def test_fused_cnn_serving_modes_on_trained_model(trained):
         params, mcfg, *args, roi_impl="fused", compute_dtype=jnp.bfloat16))
     np.testing.assert_array_equal(f32.argmax(-1), fused16.argmax(-1))
     assert np.abs(f32 - fused16).max() < LOGIT_TOL
+
+
+def test_q8_fused_serving_mode_on_trained_model(trained):
+    """roi_variant='tiled3_q8' (int8 fused CNN, ops/pallas_cnn2.py) on a
+    TRAINED model: the quantized serving mode must hold the same guardrail
+    contract as bf16 — argmax equal to f32 on every corpus clip plus a
+    bounded logit drift. int8 quantization noise (8-bit weights + per-frame
+    8-bit activations) lands well under the bf16 bound in practice
+    (observed ~1e-2 class); the shared LOGIT_TOL is the regression bar."""
+    result, corpus, _ = trained
+    params, mcfg = result["params"], result["model_config"]
+    X, L, R = _corpus_batch(corpus, mcfg, max_t=48)
+    args = (jnp.asarray(X), jnp.asarray(L), jnp.asarray(R))
+
+    f32 = np.asarray(model.live_forward(params, mcfg, *args))
+    q8 = np.asarray(model.live_forward(params, mcfg, *args,
+                                       roi_impl="fused",
+                                       roi_variant="tiled3_q8"))
+    np.testing.assert_array_equal(f32.argmax(-1), q8.argmax(-1))
+    drift = np.abs(f32 - q8).max()
+    assert drift < LOGIT_TOL, f"q8 logit drift {drift:.3f} > {LOGIT_TOL}"
+
+
+def test_predictor_q8_serving_mode(trained):
+    """Predictor(roi_variant='tiled3_q8') is the supported serving switch
+    (packs the int8 operands at construction, same as every variant)."""
+    _, corpus, ckpt = trained
+    p32 = Predictor.from_checkpoint(ckpt)
+    pq8 = Predictor.from_checkpoint(ckpt, roi_impl="fused",
+                                    roi_variant="tiled3_q8")
+    X, L, R = _corpus_batch(corpus, p32.cfg, max_t=p32.max_t)
+    a = p32.predict_batch(X, L, R)
+    b = pq8.predict_batch(X, L, R)
+    np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
+    assert np.abs(a - b).max() < LOGIT_TOL

@@ -255,3 +255,129 @@ def test_fused2_front_dtypes_bitwise_equal(rng):
         got = np.asarray(roi_cnn_fused(roi, packed, interpret=True,
                                        variant="tiled3", front=front))
         assert np.array_equal(got, base), front
+
+
+# ---------------------------------------------------------------------------
+# int8 quantized serving variant ('tiled3_q8', scripts/probe_int8.py line)
+# ---------------------------------------------------------------------------
+
+def _q8_fake_quant_reference(params, roi_u8):
+    """Independent reference for the tiled3_q8 contract: plain XLA convs
+    over per-output-channel dequantized int8 weights, with the per-frame
+    activation fake-quant (scale = frame_max/255, q = floor(v/a + .5) - 128,
+    -128 encoding exactly 0) applied between stages. The kernel's integer
+    dots + corrections must equal this to f32 rounding — NOT just be
+    'close to f32': this pins the quantization scheme itself."""
+    from jax import lax
+
+    def qw(w):
+        w = jnp.asarray(w, jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-30) / 127.0
+        return jnp.clip(jnp.round(w / s), -127, 127) * s
+
+    def qa(v):
+        fm = jnp.maximum(jnp.max(v, axis=(1, 2, 3), keepdims=True), 1e-12)
+        a = fm / 255.0
+        return (jnp.floor(v / a + 0.5) - 128.0 + 128.0) * a
+
+    conv = lambda x, w: lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    pool = lambda x: jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    b = lambda k: jnp.asarray(params[k]["b"], jnp.float32)
+    x = roi_u8[..., None].astype(jnp.float32) / 255.0
+    c1 = jax.nn.relu(pool(conv(x, qw(params["conv0"]["w"]))) + b("conv0"))
+    c2 = jax.nn.relu(pool(conv(qa(c1), qw(params["conv1"]["w"])))
+                     + b("conv1"))
+    c3 = jax.nn.relu(conv(qa(c2), qw(params["conv2"]["w"])) + b("conv2"))
+    feat = c3.mean(axis=(1, 2))
+    return (feat @ jnp.asarray(params["fc"]["w"], jnp.float32)
+            + jnp.asarray(params["fc"]["b"], jnp.float32))
+
+
+def test_fused2_q8_matches_fake_quant_reference(rng):
+    """The int8 kernel equals the independent fake-quant reference to f32
+    rounding (observed 1.9e-6; 3e-5 bar = 15x margin, still 300x below the
+    ~1e-2 signature of a scheme bug like a wrong correction or pad)."""
+    params = init_roi_cnn(jax.random.PRNGKey(5))
+    pq = pack_roi_cnn_fused(params, variant="tiled3_q8")
+    roi = rng.integers(0, 256, (64, 48, 96), dtype=np.uint8)
+    ref = np.asarray(_q8_fake_quant_reference(params, jnp.asarray(roi)))
+    got = np.asarray(roi_cnn_fused(jnp.asarray(roi), pq,
+                                   variant="tiled3_q8", interpret=True))
+    assert np.abs(got - ref).max() < 3e-5
+
+
+def test_fused2_q8_close_to_f32_and_invariant(rng):
+    """Quantization noise bound vs the exact path (observed 0.15% of the
+    embedding scale on random init; 1% bar), plus the two invariances the
+    per-FRAME scale design buys: a clip's embedding must not depend on its
+    batch neighbors, and f_tile must only regroup the mean reduction."""
+    params = init_roi_cnn(jax.random.PRNGKey(0))
+    pq = pack_roi_cnn_fused(params, variant="tiled3_q8")
+    roi = rng.integers(0, 256, (33, 48, 96), dtype=np.uint8)
+    ref = _ref(params, jnp.asarray(roi), standardize=False)
+    got = np.asarray(roi_cnn_fused(jnp.asarray(roi), pq,
+                                   variant="tiled3_q8", interpret=True))
+    assert got.shape == ref.shape  # ragged N=33 pads + slices back
+    assert np.abs(got - ref).max() < 0.01 * np.abs(ref).max()
+    sub = np.asarray(roi_cnn_fused(jnp.asarray(roi[:7]), pq,
+                                   variant="tiled3_q8", interpret=True))
+    np.testing.assert_array_equal(sub, got[:7])
+    g8 = np.asarray(roi_cnn_fused(jnp.asarray(roi), pq,
+                                  variant="tiled3_q8", f_tile=8,
+                                  interpret=True))
+    np.testing.assert_allclose(g8, got, atol=1e-6)
+
+
+def test_fused2_q8_pack_matches_traceable(rng):
+    """numpy pack and traceable pack agree on every q8 operand."""
+    params = init_roi_cnn(jax.random.PRNGKey(2))
+    a = pack_roi_cnn_fused(params, variant="tiled3_q8")
+    b = pack_roi_cnn_fused_traceable(params, variant="tiled3_q8")
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), k)
+
+
+def test_fused2_q8_serving_only_gates(rng):
+    """tiled3_q8 is serving-only: standardize, non-u8 fronts and train=True
+    must fail loudly at call/construction time."""
+    import pytest
+
+    params = init_roi_cnn(jax.random.PRNGKey(3))
+    pq = pack_roi_cnn_fused(params, variant="tiled3_q8")
+    roi = jnp.asarray(rng.integers(0, 256, (8, 48, 96), dtype=np.uint8))
+    with pytest.raises(ValueError, match="serving-only"):
+        roi_cnn_fused(roi, pq, variant="tiled3_q8", standardize=True,
+                      interpret=True)
+    with pytest.raises(ValueError, match="front"):
+        roi_cnn_fused(roi, pq, variant="tiled3_q8", front="bf16",
+                      interpret=True)
+    mcfg = model.BiGRUConfig(x_dim=4, num_classes=3, use_roi=True, hidden=8,
+                             roi_emb=4, head_hidden=8)
+    params_m = model.init_params(jax.random.PRNGKey(4), mcfg)
+    X = jnp.zeros((2, 6, 4), jnp.float32)
+    L = jnp.full((2,), 6, jnp.int32)
+    R = jnp.zeros((2, 6, 48, 96), jnp.uint8)
+    with pytest.raises(ValueError, match="serving-only"):
+        model.forward(params_m, mcfg, X, L, roi=R, train=True,
+                      roi_impl="fused", roi_variant="tiled3_q8")
+
+
+def test_fused2_q8_live_forward_route(rng):
+    """roi_variant='tiled3_q8' rides the existing roi_impl='fused' plumbing
+    end to end (traceable pack under jit included) and holds the guardrail
+    shape of the bf16 mode on the full live forward."""
+    mcfg = model.BiGRUConfig(x_dim=12, num_classes=5, use_roi=True,
+                             hidden=16, roi_emb=8, head_hidden=16)
+    params = model.init_params(jax.random.PRNGKey(6), mcfg)
+    X = jnp.asarray(rng.standard_normal((3, 20, 12)), jnp.float32)
+    L = jnp.full((3,), 20, jnp.int32)
+    R = jnp.asarray(rng.integers(0, 256, (3, 20, 48, 96), dtype=np.uint8))
+    f32 = np.asarray(model.live_forward(params, mcfg, X, L, R,
+                                        roi_impl="fused"))
+    q8 = np.asarray(model.live_forward(params, mcfg, X, L, R,
+                                       roi_impl="fused",
+                                       roi_variant="tiled3_q8"))
+    assert np.abs(q8 - f32).max() < 0.05
