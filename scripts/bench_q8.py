@@ -16,7 +16,10 @@ a kernel/e2e win and at what fidelity:
      pallas GRU = the shipped serving stack) for tiled3 vs tiled3_q8;
   4. logit drift + argmax agreement of the q8 e2e forward vs the f32
      parity forward (random-init model; the trained-model guardrail lives
-     in tests/test_bf16_parity.py / scripts/tpu_parity_check.py).
+     in tests/test_bf16_parity.py / scripts/tpu_parity_check.py);
+  5. a bench.py-identical B sweep (256/512/1024, T=32, chained scan) so
+     BASELINE.md can carry a q8 row at the same shape as the f32-parity
+     headline and the bf16 row (scripts/bench_bf16.py).
 
 Run on the real chip, one job at a time: python scripts/bench_q8.py
 """
@@ -125,6 +128,42 @@ def main():
              == outs["tiled3"].argmax(-1)).mean()
     print(f"e2e q8 logit drift vs f32 parity: {drift:.4f}, "
           f"argmax agreement {agree:.3f} (random-init model)", flush=True)
+
+    # ---- bench.py-identical sweep: headline-shape q8 row ----
+    SWEEP_ITERS = 50
+    for variant, pk in (("tiled3", packed), ("tiled3_q8", packed_q8)):
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def loop_fwd(params, X, lengths, roi, iters, _v=variant, _p=pk):
+            def body(carry, _):
+                Xc, Rc = carry
+                logits = model.live_forward(
+                    params, mcfg, Xc, lengths, Rc, roi_impl="fused",
+                    roi_packed=_p, roi_variant=_v, gru_impl="pallas",
+                    matmul_precision="parity")
+                eps = logits[0, 0] * 1e-30
+                return (Xc + eps, Rc + (eps > 1e30).astype(jnp.uint8)), \
+                    logits[0, 0]
+            (Xf, _), outs = lax.scan(body, (X, roi), None, length=iters)
+            return outs[-1] + Xf[0, 0, 0]
+
+        best, best_B = 0.0, 0
+        for B in (256, 512, 1024):
+            Xs = jnp.asarray(rng.standard_normal((B, T, 180))
+                             .astype(np.float32))
+            ls = jnp.asarray(np.full((B,), T, np.int32))
+            rs = jnp.asarray(rng.integers(0, 256, (B, T, 48, 96),
+                                          dtype=np.uint8))
+            float(loop_fwd(params, Xs, ls, rs, 2))
+            float(loop_fwd(params, Xs, ls, rs, SWEEP_ITERS))
+            t0 = time.perf_counter()
+            float(loop_fwd(params, Xs, ls, rs, SWEEP_ITERS))
+            cps = B / ((time.perf_counter() - t0) / SWEEP_ITERS)
+            print(f"bench-sweep {variant:9s} B={B:4d}: {cps:8.0f} clips/s",
+                  flush=True)
+            if cps > best:
+                best, best_B = cps, B
+        print(f"bench-sweep {variant:9s} best: {best:8.0f} clips/s "
+              f"at B={best_B}", flush=True)
 
 
 if __name__ == "__main__":
